@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.run.Validator
+import graft.spec.SpecParser
+
+/** The driver-facing query battery: every entry has a DuckDB oracle twin in
+  * `oracles` (column names aligned — the driver sorts columns by name before
+  * hashing). Grows one entry per operator from SURVEY.md §2. */
+object Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-constraint verdict rows for the flagship documents spec. */
+  def documentVerdicts(s: SparkSession, dir: String): DataFrame =
+    Validator.validate(docs(s, dir), SpecParser.parse(SparkEntry.DocSpecJson),
+        docId = "doc_id", part = None)
+      .verdicts.drop("rank").orderBy("constraint_id")
+
+  /** Ordered violation rows for the flagship documents spec. */
+  def documentViolations(s: SparkSession, dir: String): DataFrame =
+    Validator.validate(docs(s, dir), SpecParser.parse(SparkEntry.DocSpecJson),
+        docId = "doc_id", part = None)
+      .violations.drop("rank").drop("part")
+      .orderBy("constraint_id", "doc_id")
+
+  /** Classic aggregation sanity query (map-side partial agg + tiny shuffle). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_documents_verdicts" -> (documentVerdicts _),
+    "v_documents_violations" -> (documentViolations _),
+    "q1_agg" -> (q1Agg _)
+  )
+
+  /** DuckDB twins. The verdict oracle enumerates each compiled constraint in
+    * id order with its violation predicate — an independent re-derivation of
+    * the spec semantics, not a port of the Spark plan. */
+  val oracles: Map[String, String] = Map(
+    "v_documents_verdicts" ->
+      """WITH d AS (SELECT * FROM documents),
+         c(constraint_id, violations) AS (
+           SELECT './required:doc_id', (SELECT count(*) FROM d WHERE doc_id IS NULL) UNION ALL
+           SELECT './required:text',   (SELECT count(*) FROM d WHERE text IS NULL) UNION ALL
+           SELECT './required:source', (SELECT count(*) FROM d WHERE source IS NULL) UNION ALL
+           SELECT '.doc_id/minimum',   (SELECT count(*) FROM d WHERE doc_id IS NOT NULL AND doc_id < 0) UNION ALL
+           SELECT '.text/minLength',   (SELECT count(*) FROM d WHERE text IS NOT NULL AND length(text) < 1) UNION ALL
+           SELECT '.lang/enum',        (SELECT count(*) FROM d WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')) UNION ALL
+           SELECT '.source/pattern',   (SELECT count(*) FROM d WHERE source IS NOT NULL AND NOT regexp_matches(source, 'src[0-9]+$')) UNION ALL
+           SELECT '.n_chars/minimum',  (SELECT count(*) FROM d WHERE n_chars IS NOT NULL AND n_chars < 0) UNION ALL
+           SELECT '.n_chars/maximum',  (SELECT count(*) FROM d WHERE n_chars IS NOT NULL AND n_chars > 500))
+         SELECT 'all' AS part, constraint_id, (SELECT count(*) FROM d) AS total,
+                violations, violations = 0 AS pass
+         FROM c ORDER BY constraint_id""",
+    "v_documents_violations" ->
+      """SELECT doc_id, constraint_id, path, observed, message FROM (
+           SELECT doc_id, './required:doc_id' AS constraint_id, '.' AS path, CAST(NULL AS VARCHAR) AS observed,
+                  'Expected required property "doc_id" to be set' AS message
+           FROM documents WHERE doc_id IS NULL
+           UNION ALL
+           SELECT doc_id, './required:text', '.', CAST(NULL AS VARCHAR),
+                  'Expected required property "text" to be set'
+           FROM documents WHERE text IS NULL
+           UNION ALL
+           SELECT doc_id, './required:source', '.', CAST(NULL AS VARCHAR),
+                  'Expected required property "source" to be set'
+           FROM documents WHERE source IS NULL
+           UNION ALL
+           SELECT doc_id, '.doc_id/minimum', '.doc_id', CAST(doc_id AS VARCHAR),
+                  'Expected numeric value be greater than or equal to 0'
+           FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+           UNION ALL
+           SELECT doc_id, '.text/minLength', '.text', text,
+                  'Expected string to have a minimum length of 1'
+           FROM documents WHERE text IS NOT NULL AND length(text) < 1
+           UNION ALL
+           SELECT doc_id, '.lang/enum', '.lang', lang,
+                  'Expected value to be equal to the enum'
+           FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+           UNION ALL
+           SELECT doc_id, '.source/pattern', '.source', source,
+                  'Expected string to match pattern /^src[0-9]+$/'
+           FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, 'src[0-9]+$')
+           UNION ALL
+           SELECT doc_id, '.n_chars/minimum', '.n_chars', CAST(n_chars AS VARCHAR),
+                  'Expected numeric value be greater than or equal to 0'
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
+           UNION ALL
+           SELECT doc_id, '.n_chars/maximum', '.n_chars', CAST(n_chars AS VARCHAR),
+                  'Expected numeric value be less than or equal to 500'
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
+         ) ORDER BY constraint_id, doc_id""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}

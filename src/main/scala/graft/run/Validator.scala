@@ -1,0 +1,123 @@
+package graft.run
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.compile.{CompiledCheck, Compiler}
+import graft.spec.Spec
+
+/** Result of a validation run — both frames are lazy plans.
+  *
+  * `verdicts`: one row per (partition, constraint) —
+  *   (part, constraint_id, total, violations, pass) — the Dataset analog of
+  *   the reference's `ValidationResult` status (validator.cr:20-27).
+  * `violations`: one row per violating (row, constraint) —
+  *   (part, doc_id, rank, constraint_id, path, observed, message) — the
+  *   analog of its ordered `Array(ValidationError)` (validator.cr:9-17).
+  */
+final case class Validation(verdicts: DataFrame, violations: DataFrame) {
+  /** Deterministic golden ordering: reference keyword-evaluation order, then
+    * doc_id (SURVEY.md §7.3) — only for report/test time, never on the hot path. */
+  def orderedViolations: DataFrame =
+    violations.orderBy(col("rank"), col("doc_id")).drop("rank")
+  def orderedVerdicts: DataFrame =
+    verdicts.orderBy(col("part"), col("rank")).drop("rank")
+}
+
+/** Row-level validation engine: compiled checks → verdict + violation frames.
+  *
+  * Execution shape (scale notes):
+  *  - ONE narrow projection computes every check (whole-stage codegen, no
+  *    UDFs, no shuffle) — the columnar analog of the reference's single
+  *    `validate(node)` walk.
+  *  - Verdicts: `groupBy(part)` with per-check conditional counts — partial
+  *    (map-side) aggregation makes the shuffle O(parts × checks), independent
+  *    of row count.
+  *  - Violations: per-row array of failed-check structs, filtered then
+  *    exploded — rows with zero violations (the common case at scale) are
+  *    dropped before the explode generates anything.
+  */
+object Validator {
+
+  /** Validate a whole table against a root spec. */
+  def validate(df: DataFrame, spec: Spec, docId: String = "doc_id",
+               part: Option[String] = Some("part")): Validation =
+    run(df, Compiler.compile(spec, df.schema), docId, part)
+
+  /** Validate a single column against a spec (root-value mode). */
+  def validateColumn(df: DataFrame, spec: Spec, column: String,
+                     docId: String = "doc_id", part: Option[String] = Some("part")): Validation = {
+    val dt = df.schema(column).dataType
+    run(df, Compiler.compileColumn(spec, column, dt), docId, part)
+  }
+
+  def run(df: DataFrame, checks: Vector[CompiledCheck], docId: String,
+          part: Option[String]): Validation = {
+    val partCol: Column = part.map(col).getOrElse(lit("all"))
+    if (checks.isEmpty) {
+      // a keyword-free spec (e.g. bare {"type":"object"} over a typed row)
+      // compiles to zero checks — statically all-pass
+      return Validation(
+        verdicts = df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), verdictSchema),
+        violations = df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), violationSchema))
+    }
+
+    Validation(
+      verdicts = verdictFrame(df, checks, partCol),
+      violations = violationFrame(df, checks, col(docId), partCol)
+    )
+  }
+
+  val verdictSchema: StructType = StructType(Seq(
+    StructField("part", StringType), StructField("rank", IntegerType, nullable = false),
+    StructField("constraint_id", StringType, nullable = false),
+    StructField("total", LongType, nullable = false),
+    StructField("violations", LongType), StructField("pass", BooleanType)))
+
+  val violationSchema: StructType = StructType(Seq(
+    StructField("part", StringType), StructField("doc_id", StringType),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("constraint_id", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("observed", StringType), StructField("message", StringType, nullable = false)))
+
+  /** (part, rank, constraint_id, total, violations, pass) — single scan,
+    * map-side partial agg, one tiny shuffle keyed by partition. */
+  def verdictFrame(df: DataFrame, checks: Vector[CompiledCheck], partCol: Column): DataFrame = {
+    val aggs = checks.map(c => sum((!c.pass).cast(LongType)).as(s"c${c.rank}"))
+    val agg = df.groupBy(partCol.as("part"))
+      .agg(count(lit(1)).as("total"), aggs: _*)
+    // unpivot AFTER aggregation: explode runs over |parts| rows, not the data
+    val kv = explode(array(checks.map(c =>
+      struct(lit(c.rank).as("rank"), lit(c.id).as("constraint_id"),
+             col(s"c${c.rank}").as("violations"))): _*))
+    agg.select(col("part"), col("total"), kv.as("kv"))
+      .select(
+        col("part"), col("kv.rank").as("rank"), col("kv.constraint_id").as("constraint_id"),
+        col("total"), col("kv.violations").as("violations"),
+        (col("kv.violations") === 0).as("pass"))
+  }
+
+  /** (part, doc_id, rank, constraint_id, path, observed, message). */
+  def violationFrame(df: DataFrame, checks: Vector[CompiledCheck],
+                     docId: Column, partCol: Column): DataFrame = {
+    val entries = checks.map { c =>
+      when(!c.pass, struct(
+        lit(c.rank).as("rank"),
+        lit(c.id).as("constraint_id"),
+        lit(c.path).as("path"),
+        c.observed.as("observed"),
+        lit(c.message).as("message")))
+    }
+    val vioArr = filter(array(entries: _*), e => e.isNotNull)
+    df.select(partCol.as("part"), docId.as("doc_id"), vioArr.as("_v"))
+      .where(size(col("_v")) > 0)
+      .select(col("part"), col("doc_id"), explode(col("_v")).as("v"))
+      .select(col("part"), col("doc_id"), col("v.rank").as("rank"),
+              col("v.constraint_id").as("constraint_id"), col("v.path").as("path"),
+              col("v.observed").as("observed"), col("v.message").as("message"))
+  }
+}
