@@ -1,24 +1,70 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round benchmark (driver contract): one JSON line with per-query seconds
+  * plus the headline metric — validated sequences/sec for the full
+  * constraint suite (row checks + dedup + referential + drift) over the
+  * deterministic generated sequence table (BASELINE.json `metric`). */
 object Bench {
+
+  /** Materialize the deterministic sequence table once (hive-partitioned by
+    * `part`, like the Iceberg layout it stands in for); generation cost is
+    * excluded from the measured validation job, and both scaling runs read
+    * the IDENTICAL bytes. */
+  def ensureParquet(spark: SparkSession, rows: Long, numParts: Int = 16): String = {
+    val dir = s"/tmp/graft_bench/seq_${rows}_$numParts"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      graft.data.SequenceGen.sequences(spark, rows, numParts)
+        .write.mode("overwrite").partitionBy("part").parquet(dir)
+    }
+    dir
+  }
+
+  def runSuite(spark: SparkSession, rows: Long): (Double, Long) = {
+    val dir = ensureParquet(spark, rows)
+    val df = spark.read.parquet(dir)
+    val dim = graft.data.SequenceGen.dimSources(spark)
+    val t0 = System.nanoTime()
+    val v = graft.run.Suite.validateSequences(df, dim)
+    // force full execution of every branch (verdict agg reads all checks)
+    v.verdicts.agg(sum(col("violations"))).collect()
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warmup on a small run so measured numbers are steady-state
+    runSuite(spark, 50000L)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (suiteSec, n) = runSuite(spark, benchRows)
+    results(s"suite_validate_${n}rows") = suiteSec
+    val seqPerSec = n / suiteSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$n,"cpus":$cpus}""")
     spark.stop()
   }
 }

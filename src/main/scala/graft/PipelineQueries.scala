@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dataset.CrossRow
+import graft.drift.Drift
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Query battery part 2: cross-row operators, drift, stats sketches,
+  * dedup/text/similarity pipeline ops — each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible (hash-based ops are rows-only). */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ (first 50 docs re-keyed) — planted exact duplicates so the
+    * dedup queries have non-empty output. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.unionByName(d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- cross-row operators ------------------------------------------------
+    "x_duplicate_keys" -> ((s, dir) =>
+      CrossRow.duplicateKeys(docsWithDups(s, dir).withColumn("k", TextAnalysis.contentKey(col("text"))), "k")
+        .orderBy("k")),
+    "x_referential_orphans" -> ((s, dir) => {
+      // drop every order of custkeys ≡ 3 (mod 10) so the anti-join has
+      // guaranteed orphans to find at any sf
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .where(pmod(col("o_custkey"), lit(10)) =!= 3)
+      val customers = s.read.parquet(s"$dir/customer.parquet")
+      customers.join(orders, customers("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+    "x_drift_documents" -> ((s, dir) =>
+      Drift.divergence(docs(s, dir), col("lang"), part = "source")
+        .select(col("part"), round(col("kl"), 3).as("kl"), round(col("psi"), 3).as("psi"),
+          col("total").cast("long").as("total"))
+        .orderBy("part")),
+    "x_partition_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("source").as("part"))
+        .agg(
+          count(lit(1)).as("total"),
+          min(col("n_chars")).as("n_chars_min"),
+          max(col("n_chars")).as("n_chars_max"),
+          round(avg(col("n_chars")), 4).as("n_chars_avg"),
+          countDistinct(col("lang")).as("lang_distinct"),
+          sum(col("text").isNull.cast("long")).as("text_nulls"))
+        .orderBy("part")),
+
+    // -- dedup family -------------------------------------------------------
+    "p_exact_dup_groups" -> ((s, dir) =>
+      Dedup.exactGroups(docsWithDups(s, dir), col("text"), col("doc_id"))
+        .orderBy("content_key")),
+    "p_exact_drop_list" -> ((s, dir) =>
+      Dedup.exactDropList(docsWithDups(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+    "p_minhash_neardups" -> ((s, dir) => // hash-based: rows-only oracle
+      Dedup.nearDuplicates(docsWithDups(s, dir), col("text"), col("doc_id"),
+        threshold = 0.9).orderBy("doc_a", "doc_b")),
+    "p_simhash" -> ((s, dir) => // hash-based: rows-only oracle
+      docsWithDups(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    "p_embedding_neardups" -> ((s, dir) => { // planted near-identical vector
+      val e = emb(s, dir)
+      val planted = e.unionByName(
+        e.where(col("vec_id") === 7)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.0f)).as("embedding"), col("label")))
+      Dedup.embeddingNearDups(planted, col("embedding"), col("vec_id"),
+          dim = 64, threshold = 0.9999)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- text analysis ------------------------------------------------------
+    "p_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+    "p_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "p_lang_id_accuracy" -> ((s, dir) =>
+      docs(s, dir).select(
+          (TextAnalysis.languageId(col("text")) === col("lang")).cast("long").as("hit"))
+        .agg(sum(col("hit")).as("hits"), count(lit(1)).as("total"))),
+    "p_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "p_fingerprint" -> ((s, dir) => // xxhash64-based: rows-only oracle
+      docsWithDups(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // -- similarity search --------------------------------------------------
+    "p_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+      Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          e.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "p_ann_ivf_topk" -> ((s, dir) => { // seeded-hash centroids: rows-only oracle
+      val e = emb(s, dir).withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+      Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+          e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+          k = 5, numCentroids = 16, dim = 64, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // -- relational coverage (window / sort-limit / set ops) ----------------
+    "q_window_top_orders" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q_topk_longest_docs" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(10)),
+    "q_set_ops" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = d.where(col("lang") === "en").select(col("doc_id"))
+      val src1 = d.where(col("source") === "src1").select(col("doc_id"))
+      en.intersect(src1).union(en.except(src1).limit(0)).orderBy("doc_id")
+    }),
+    "q_join_broadcast_dim" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      li.join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  private val normWords =
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), w -> len(w) > 0)"
+  private val contentKeySql = s"md5(array_to_string($normWords, ' '))"
+  private val docsWithDupsSql =
+    """(SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 50)"""
+  private val wsTokSql =
+    "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+  private val bpeTokSql =
+    """len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))"""
+  private def langScore(re: String) =
+    s"len(regexp_extract_all(lower(text), '$re'))"
+  private val langCaseSql = {
+    val scores = TextAnalysis.LangProfiles.map { case (l, re) => l -> langScore(re.replace("\\", "\\")) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, s) => s"WHEN $s = __best AND __best > 0 THEN '$l'" }
+      .mkString(" ")
+    s"""CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        $cases ELSE 'und' END""" -> best
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x_duplicate_keys" ->
+      s"""SELECT $contentKeySql AS k, count(*) AS cnt
+          FROM $docsWithDupsSql GROUP BY 1 HAVING count(*) > 1 ORDER BY k""",
+    "x_referential_orphans" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_custkey % 10 != 3)
+         ORDER BY c_custkey""",
+    "x_drift_documents" ->
+      """WITH h AS (SELECT source AS part, lang AS bucket, count(*)::DOUBLE AS c
+                    FROM documents GROUP BY 1, 2),
+         t AS (SELECT part, sum(c) AS t FROM h GROUP BY 1),
+         b AS (SELECT bucket, sum(c) AS bc FROM h GROUP BY 1),
+         bt AS (SELECT sum(bc) AS bt, count(*)::DOUBLE AS k FROM b),
+         grid AS (SELECT t.part, t.t, b.bucket, b.bc, bt.bt, bt.k,
+                         coalesce(h.c, 0) AS c
+                  FROM t CROSS JOIN b CROSS JOIN bt
+                  LEFT JOIN h ON h.part = t.part AND h.bucket = b.bucket),
+         pq AS (SELECT part, t, (c + 0.5) / (t + 0.5 * k) AS p,
+                       (bc + 0.5) / (bt + 0.5 * k) AS q FROM grid)
+         SELECT part, round(sum(p * ln(p / q)), 3) AS kl,
+                round(sum((p - q) * ln(p / q)), 3) AS psi,
+                max(t)::BIGINT AS total
+         FROM pq GROUP BY part ORDER BY part""",
+    "x_partition_stats" ->
+      """SELECT source AS part, count(*) AS total,
+                min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+                round(avg(n_chars), 4) AS n_chars_avg,
+                count(DISTINCT lang) AS lang_distinct,
+                count(*) FILTER (WHERE text IS NULL) AS text_nulls
+         FROM documents GROUP BY 1 ORDER BY part""",
+    "p_exact_dup_groups" ->
+      s"""SELECT $contentKeySql AS content_key, count(*) AS cnt,
+                 min(doc_id) AS keep_doc_id
+          FROM $docsWithDupsSql GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key""",
+    "p_exact_drop_list" ->
+      s"""WITH keyed AS (SELECT $contentKeySql AS content_key, doc_id FROM $docsWithDupsSql),
+          groups AS (SELECT content_key, count(*) AS cnt, min(doc_id) AS keep_doc_id
+                     FROM keyed GROUP BY 1 HAVING count(*) > 1)
+          SELECT k.doc_id, k.content_key, g.keep_doc_id
+          FROM keyed k JOIN groups g USING (content_key)
+          WHERE k.doc_id != g.keep_doc_id ORDER BY k.doc_id""",
+    "p_token_counts" ->
+      s"""SELECT doc_id, $wsTokSql AS ws_tokens, $bpeTokSql AS bpe_tokens
+          FROM documents ORDER BY doc_id""",
+    "p_lang_id" -> {
+      val (caseSql, best) = langCaseSql
+      s"""SELECT doc_id, $caseSql AS lang_pred
+          FROM (SELECT doc_id, text, $best AS __best FROM documents)
+          ORDER BY doc_id"""
+    },
+    "p_lang_id_accuracy" -> {
+      val (caseSql, best) = langCaseSql
+      s"""SELECT sum(CASE WHEN ($caseSql) = lang THEN 1 ELSE 0 END)::BIGINT AS hits,
+                 count(*) AS total
+          FROM (SELECT doc_id, text, lang, $best AS __best FROM documents)"""
+    },
+    "p_quality" ->
+      s"""SELECT doc_id, round((
+            (CASE WHEN words >= 10 AND words <= 10000 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN words > 0 AND n_chars_d / words >= 2 AND n_chars_d / words <= 12
+                  THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN n_chars_d > 0 AND punct / n_chars_d <= 0.2 THEN 1.0 ELSE 0.0 END) +
+            least(CASE WHEN n_chars_d > 0 THEN alpha / n_chars_d ELSE 0.0 END * 1.25, 1.0)
+          ) / 4.0, 4) AS quality
+          FROM (SELECT doc_id,
+                       length(text)::DOUBLE AS n_chars_d,
+                       ($wsTokSql)::DOUBLE AS words,
+                       len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS punct,
+                       len(regexp_extract_all(text, '[\\p{L}]'))::DOUBLE AS alpha
+                FROM documents)
+          ORDER BY doc_id""",
+    "p_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                  list_cosine_similarity(c.v, q.v) AS cos
+           FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+           WHERE c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT query_id, corpus_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, rank::INT AS rank, corpus_id, round(cos, 4) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_window_top_orders" ->
+      """SELECT o_custkey, rk::INT AS rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_topk_longest_docs" ->
+      """SELECT doc_id, n_chars FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT 10""",
+    "q_set_ops" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+         INTERSECT
+         SELECT doc_id FROM documents WHERE source = 'src1'
+         ORDER BY doc_id""",
+    "q_join_broadcast_dim" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1"""
+  )
+}

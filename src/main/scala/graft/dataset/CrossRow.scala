@@ -1,0 +1,124 @@
+package graft.dataset
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.compile.CompiledCheck
+import graft.run.Validation
+
+/** Cross-row constraints — the operators the north rule adds on top of the
+  * reference's single-value semantics (SURVEY.md §2.8): key uniqueness,
+  * referential integrity, cross-field consistency. Output frames share the
+  * Validator verdict/violation schemas so they union with row-level results.
+  *
+  * Scale design:
+  *  - Uniqueness is a SALTED TWO-STAGE count: stage 1 groups on
+  *    (key, salt=input-partition-id) so a hot key contributes at most one
+  *    partial row per input partition; stage 2 sums partials. The duplicate
+  *    set (cnt > 1) is tiny relative to the table, so the join back to rows
+  *    is AQE-broadcastable and skew-safe.
+  *  - Referential integrity is a BROADCAST left-anti join against the
+  *    dimension table (small by construction) — no shuffle of the fact side,
+  *    immune to hot-value skew.
+  */
+object CrossRow {
+
+  /** Cross-row checks rank after all row-level checks in golden ordering. */
+  val BaseRank = 1000
+
+  /** (key, cnt) for keys occurring more than once — salted two-stage agg. */
+  def duplicateKeys(df: DataFrame, key: String): DataFrame = {
+    val partial = df.select(col(key))
+      .withColumn("_salt", spark_partition_id())
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_pc"))
+    partial.groupBy(col(key))
+      .agg(sum(col("_pc")).as("cnt"))
+      .where(col("cnt") > 1)
+  }
+
+  /** Per-part row totals — pass a precomputed (possibly driver-collected
+    * literal) frame to every cross-row check to avoid re-scanning for counts. */
+  def partTotals(df: DataFrame, part: String = "part"): DataFrame =
+    df.groupBy(col(part).as("part")).agg(count(lit(1)).as("total"))
+
+  /** Collect totals to the driver (|parts| rows — partition metadata scale)
+    * and rebuild as a literal frame: downstream verdict joins then scan
+    * nothing. */
+  def partTotalsLiteral(df: DataFrame, part: String = "part"): DataFrame = {
+    val rows = partTotals(df, part).collect().toSeq
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("part", StringType), StructField("total", LongType))))
+  }
+
+  /** Validation frames for "every `key` value occurs exactly once". */
+  def uniqueness(df: DataFrame, key: String = "doc_id",
+                 part: String = "part", rank: Int = BaseRank,
+                 totals: Option[DataFrame] = None): Validation = {
+    val id = s"dataset/unique:$key"
+    val message = s"""Expected "$key" values to be unique across the dataset"""
+    val dups = duplicateKeys(df, key)
+
+    val violations = df.select(col(part).as("part"), col(key))
+      .join(dups, Seq(key)) // dup set is small → AQE broadcasts it
+      .select(
+        col("part"), col(key).cast(StringType).as("doc_id"),
+        lit(rank).as("rank"), lit(id).as("constraint_id"),
+        lit(s".$key").as("path"), col("cnt").cast(StringType).as("observed"),
+        lit(message).as("message"))
+
+    Validation(verdictsFromViolations(totals.getOrElse(partTotals(df, part)),
+      violations, rank, id), violations)
+  }
+
+  /** Validation frames for "`column` ∈ dim(`dimCol`)" (FK). Nulls are not FK
+    * violations (that is `required`'s job), matching SQL FK semantics. */
+  def referential(df: DataFrame, column: String, dim: DataFrame, dimCol: String,
+                  docId: String = "doc_id", part: String = "part",
+                  rank: Int = BaseRank + 1,
+                  totals: Option[DataFrame] = None): Validation = {
+    val id = s"dataset/referential:$column"
+    val message = s"""Expected "$column" to reference a value in the dimension table"""
+    val fact = df.select(col(part).as("part"), col(docId).cast(StringType).as("doc_id"),
+                         col(column))
+      .where(col(column).isNotNull)
+    val violations = fact
+      .join(broadcast(dim.select(col(dimCol).as(column)).distinct), Seq(column), "left_anti")
+      .select(
+        col("part"), col("doc_id"),
+        lit(rank).as("rank"), lit(id).as("constraint_id"),
+        lit(s".$column").as("path"), col(column).cast(StringType).as("observed"),
+        lit(message).as("message"))
+
+    Validation(verdictsFromViolations(totals.getOrElse(partTotals(df, part)),
+      violations, rank, id), violations)
+  }
+
+  /** Row-level cross-field consistency as a pluggable CompiledCheck, e.g.
+    * `consistency("n_tok=size(tokens)", col("n_tok") === size(col("tokens")),
+    * col("n_tok"))` — runs in the same single pass as spec checks. */
+  def consistency(name: String, ok: Column, observed: Column,
+                  rank: Int = BaseRank + 2): CompiledCheck =
+    CompiledCheck(
+      id = s"dataset/consistency:$name",
+      path = ".", keyword = "consistency",
+      message = s"Expected row to satisfy $name",
+      rank = rank,
+      pass = coalesce(ok, lit(false)),
+      observed = observed.cast(StringType))
+
+  /** Verdict frame derived from a violation frame + per-part totals.
+    * Both sides aggregate before the join, so the join is |parts|-sized. */
+  private[graft] def verdictsFromViolations(totals: DataFrame, violations: DataFrame,
+                                            rank: Int, id: String): DataFrame = {
+    val vioCounts = violations.groupBy(col("part")).agg(count(lit(1)).as("violations"))
+    totals.join(vioCounts, Seq("part"), "left")
+      .select(
+        col("part"), lit(rank).as("rank"), lit(id).as("constraint_id"), col("total"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        (coalesce(col("violations"), lit(0L)) === 0).as("pass"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata.
+  *
+  * The Spark-side plumbing is real — schemas, typed Datasets, batched
+  * per-partition processing (the JVM analog of `mapInPandas` batch shape),
+  * partition sizing — while the actual codec work is a clearly marked
+  * DETERMINISTIC STUB (`decodeStub`): this container has no image/audio
+  * libraries, so the stub parses our synthetic GRF0 header exactly where a
+  * real implementation would call libjpeg/ffmpeg on the byte payload.
+  */
+object Multimodal {
+
+  /** Opaque media row: the payload travels as bytes, never interpreted by
+    * Catalyst (binary column), metadata as plain columns. */
+  final case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+
+  final case class MediaMeta(doc_id: Long, media_type: String, width: Int,
+                             height: Int, n_frames: Int, n_bytes: Long)
+
+  final case class MediaFeature(doc_id: Long, media_type: String,
+                                embedding: Array[Float])
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Synthetic deterministic media: "GRF0" magic + big-endian width, height,
+    * n_frames + pseudo-random payload — a stand-in for real image bytes with
+    * the same opaque-binary shape. */
+  def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val h = java.util.Objects.hash(42L, id).toLong
+      val mediaType = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val width = (64 + math.abs(h) % 1024).toInt
+      val height = (64 + math.abs(h / 7) % 1024).toInt
+      val frames = if (mediaType == "video") (1 + math.abs(h / 11) % 32).toInt else 1
+      val payload = new Array[Byte](64 + (math.abs(h) % 192).toInt)
+      var x = h
+      payload.indices.foreach { i =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        payload(i) = (x >>> 56).toByte
+      }
+      val bb = java.nio.ByteBuffer.allocate(4 + 12 + payload.length)
+      bb.put("GRF0".getBytes("US-ASCII")).putInt(width).putInt(height).putInt(frames)
+      bb.put(payload)
+      MediaRow(id, mediaType, bb.array())
+    }
+  }
+
+  /** ==== STUB ==== In production this is the codec call (libjpeg/ffmpeg/…)
+    * over the byte payload; here it parses the synthetic GRF0 header. The
+    * surrounding batching/partitioning is the real production shape. */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4); bb.get(magic)
+    require(new String(magic, "US-ASCII") == "GRF0", "unknown media container")
+    (bb.getInt, bb.getInt, bb.getInt)
+  }
+
+  /** Batched metadata extraction: one partition = one iterator pass, no
+    * per-row task overhead — the mapInPandas batch shape on the JVM. */
+  def decodeMeta(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.media)
+        MediaMeta(r.doc_id, r.media_type, w, h, f, r.media.length.toLong)
+      }
+    }
+  }
+
+  /** ==== STUB ==== feature extraction (CLIP/whisper-style): deterministic
+    * 16-dim embedding from payload bytes, batched per partition like a model
+    * forward pass would be. */
+  def featureExtract(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val emb = new Array[Float](dim)
+        r.media.zipWithIndex.foreach { case (b, i) =>
+          emb(i % dim) += (b & 0xff) / 255.0f
+        }
+        val norm = math.sqrt(emb.map(x => x * x).sum).toFloat max 1e-6f
+        MediaFeature(r.doc_id, r.media_type, emb.map(_ / norm))
+      }
+    }
+  }
+
+  /** Video frame sampling: every `everyN`th frame as its own (exploded) row;
+    * frame payload sliced from the container ==== STUB slicing ==== . */
+  def frameSample(ds: Dataset[MediaRow], everyN: Int = 4): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, _, frames) = decodeStub(r.media)
+        val payload = r.media.drop(16)
+        (0 until frames by everyN).map { f =>
+          val chunk = math.max(payload.length / frames, 1)
+          Frame(r.doc_id, f, payload.slice(f * chunk, math.min((f + 1) * chunk, payload.length)))
+        }
+      }
+    }
+  }
+
+  /** Metadata validation via the constraint engine: media rows are just rows
+    * — the same spec machinery applies (width/height bounds, type enum). */
+  val MediaSpecJson: String =
+    """{"type":"object",
+       "required":["doc_id","media_type","width","height"],
+       "properties":{
+         "media_type":{"type":"string","enum":["image","audio","video"]},
+         "width":{"type":"integer","minimum":1,"maximum":16384},
+         "height":{"type":"integer","minimum":1,"maximum":16384},
+         "n_frames":{"type":"integer","minimum":1},
+         "n_bytes":{"type":"integer","minimum":17}}}"""
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * language ID, quality scoring, document fingerprinting. All pure Catalyst
+  * expressions (codegen'd, no UDFs) — they run inside the same narrow
+  * projection pass as constraint checks, zero shuffle. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: GPT-2-style pretokenizer word/number/punct pieces.
+    * A real BPE vocab merge is a lookup, not a per-row computation — the
+    * pretoken count is the standard cheap proxy. */
+  val BpeTokenPattern = "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Stopword/character-class profiles per language (n-gram heuristic). */
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|for|with|was|are)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|von|mit|für|ein|eine)\\b",
+    "fr" -> "\\b(le|la|les|et|est|que|pour|dans|une|des|du)\\b",
+    "es" -> "\\b(el|la|los|las|que|de|en|es|por|una|con)\\b"
+  )
+
+  /** Language ID: CJK script detection, else argmax of per-language stopword
+    * hit-rate; "und" (undetermined) when nothing matches. */
+  def languageId(text: Column): Column = {
+    val lowered = lower(text)
+    val scores = LangProfiles.map { case (lang, re) =>
+      lang -> size(regexp_extract_all(lowered, lit(re), lit(0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Quality heuristics à la Gopher/C4 rules: each component in [0,1]. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val words = wsTokenCount(text).cast("double")
+    val meanWordLen = when(words > 0, nChars / words).otherwise(lit(0.0))
+    val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double")
+    val alpha = size(regexp_extract_all(text, lit("[\\p{L}]"), lit(0))).cast("double")
+    val lengthOk = when(words >= 10 && words <= 10000, 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen >= 2 && meanWordLen <= 12, 1.0).otherwise(0.0)
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val punctOk = when(nChars > 0 && punct / nChars <= 0.2, 1.0).otherwise(0.0)
+    round((lengthOk + wordLenOk + punctOk + least(alphaRatio * lit(1.25), lit(1.0))) / 4.0, 4)
+  }
+
+  /** Whitespace-normalized word array (shared by fingerprint + dedup). */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+
+  /** Word k-shingles as strings ("a b c" for k=3); rows shorter than k get
+    * their single joined text as one shingle. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = words(text)
+    when(size(ws) <= k, array(array_join(ws, " ")))
+      .otherwise(transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+  }
+
+  /** 64-bit document fingerprint: min of shingle hashes (winnowing-style —
+    * stable under small edits far from the minimal shingle). */
+  def fingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Exact-dup content key: hash of the whitespace-normalized text. md5 so a
+    * SQL oracle can reproduce it byte-for-byte. */
+  def contentKey(text: Column): Column =
+    md5(array_join(words(text), " "))
+}

@@ -1,0 +1,82 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.SequenceGen
+import graft.dataset.CrossRow
+import graft.drift.Drift
+import graft.spec.{Spec, SpecJson, SpecParser}
+import graft.stats.{Metrics, MetricsStore}
+
+/** The full north-star validation job over a tokenized-sequence table:
+  * row-level spec checks (+ n_tok==size(tokens) consistency in the same
+  * pass), doc_id uniqueness (salted two-stage), source referential integrity
+  * (broadcast anti join), KL/PSI drift of n_tok and source — unioned into one
+  * verdict frame and one violation frame (SURVEY.md §3.4 plan sketch).
+  *
+  * Scan budget (at scale each is column-pruned to what it needs):
+  *   1. row checks — full width, zero shuffle except the |parts| verdict agg
+  *   2. uniqueness — (doc_id, part) only
+  *   3. referential — (source, doc_id, part) only, no shuffle (broadcast)
+  *   4+5. drift histograms — (n_tok|source, part) only, |parts×buckets| shuffle
+  */
+object Suite {
+
+  final case class Config(
+      docId: String = "doc_id",
+      part: String = "part",
+      source: String = "source",
+      nTok: String = "n_tok",
+      tokens: String = "tokens",
+      klThreshold: Double = 0.05,
+      nTokBucketWidth: Double = 8.0)
+
+  def validateSequences(df: DataFrame, dim: DataFrame,
+                        spec: Spec = SpecParser.parse(SequenceGen.SeqSpecJson),
+                        cfg: Config = Config()): Validation = {
+    val consistency = CrossRow.consistency(
+      s"${cfg.nTok}=size(${cfg.tokens})",
+      col(cfg.nTok) === size(col(cfg.tokens)),
+      col(cfg.nTok))
+
+    // per-part totals collected once (|parts| rows) → cross-row verdict
+    // joins are literal-sized, no repeated counting scans
+    val totals = Some(CrossRow.partTotalsLiteral(df, cfg.part))
+
+    val row = Validator.validate(df, spec, cfg.docId, Some(cfg.part), Vector(consistency))
+    val uniq = CrossRow.uniqueness(df, cfg.docId, cfg.part, totals = totals)
+    val ref = CrossRow.referential(df, cfg.source, dim, cfg.source, cfg.docId, cfg.part,
+      totals = totals)
+    // both drift dimensions share ONE scan via the multi-bucket cube
+    val drifts = Drift.multiValidation(df, Seq(
+      (cfg.nTok, Drift.widthBucket(col(cfg.nTok), cfg.nTokBucketWidth), cfg.klThreshold),
+      (cfg.source, col(cfg.source), cfg.klThreshold)), cfg.part)
+
+    val parts = Seq(row, uniq, ref) ++ drifts
+    Validation(
+      verdicts = parts.map(_.verdicts).reduce(_ unionByName _),
+      violations = parts.map(_.violations).reduce(_ unionByName _))
+  }
+
+  /** Checkpointed run: skip already-validated partitions (resume), validate
+    * the remainder, append their stats sketches to the metrics store. */
+  def resumableRun(df: DataFrame, dim: DataFrame, store: MetricsStore,
+                   spec: Spec = SpecParser.parse(SequenceGen.SeqSpecJson),
+                   cfg: Config = Config(),
+                   runEpoch: Long = System.currentTimeMillis()): Option[Validation] = {
+    val specHash = SpecJson.hash(spec)
+    val todo = store.remaining(df, specHash, cfg.part)
+    if (todo.isEmpty) return None
+    val result = validateSequences(todo, dim, spec, cfg)
+    store.append(
+      Metrics.partitionStats(todo, cfg.part, cfg.docId, cfg.nTok, cfg.source),
+      specHash, runEpoch)
+    Some(result)
+  }
+
+  /** Convenience: generated sequences at a given row count (bench + tests). */
+  def onGenerated(spark: SparkSession, rows: Long, numParts: Int = 16): Validation =
+    validateSequences(SequenceGen.sequences(spark, rows, numParts),
+                      SequenceGen.dimSources(spark))
+}

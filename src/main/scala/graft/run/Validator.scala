@@ -40,10 +40,12 @@ final case class Validation(verdicts: DataFrame, violations: DataFrame) {
   */
 object Validator {
 
-  /** Validate a whole table against a root spec. */
+  /** Validate a whole table against a root spec; `extraChecks` (e.g.
+    * cross-field consistency) run in the same single pass. */
   def validate(df: DataFrame, spec: Spec, docId: String = "doc_id",
-               part: Option[String] = Some("part")): Validation =
-    run(df, Compiler.compile(spec, df.schema), docId, part)
+               part: Option[String] = Some("part"),
+               extraChecks: Vector[CompiledCheck] = Vector.empty): Validation =
+    run(df, Compiler.compile(spec, df.schema) ++ extraChecks, docId, part)
 
   /** Validate a single column against a spec (root-value mode). */
   def validateColumn(df: DataFrame, spec: Spec, column: String,

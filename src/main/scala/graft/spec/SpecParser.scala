@@ -17,6 +17,13 @@ object SpecParser {
 
   def parse(text: String): Spec = parseNode(JsonVal.parse(text))
 
+  /** File entry point — the runtime analog of the reference's compile-time
+    * `create_validator` macro (jsonschema.cr:16-18): read schema file, build
+    * the spec once at app start; Catalyst codegen is the runtime analog of
+    * the emitted code. */
+  def parseFile(path: String): Spec =
+    parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   /** Root entry — root must be an object node (reference jsonschema.cr:64-67). */
   def parseNode(node: JsonVal): Spec = node match {
     case o: JObj => define(o)

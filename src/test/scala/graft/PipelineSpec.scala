@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.run.Validator
+import graft.spec.SpecParser
+
+import Harness.spark
+
+/** Training-pipeline operators: text analysis, dedup family, ANN, multimodal. */
+class PipelineSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  val docsDf = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog and the cat sat on the mat with the dog"),
+    (2L, "The quick brown fox jumps over the lazy dog and the cat sat on the mat with the cow"),
+    (3L, "Der schnelle braune Fuchs springt über den faulen Hund und die Katze ist nicht hier"),
+    (4L, "Le renard brun rapide saute par dessus le chien paresseux et le chat est dans la maison"),
+    (5L, "El rápido zorro marrón salta sobre el perro perezoso y el gato es una manta en la casa"),
+    (6L, "这是一个中文文档的示例文本"),
+    (7L, "completely different text about spark query engines and distributed systems for training data"),
+    (8L, "The quick brown fox jumps over the lazy dog and the cat sat on the mat with the dog")
+  ).toDF("doc_id", "text")
+
+  test("wsTokenCount / bpeTokenCount") {
+    val counts = docsDf.select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("c"),
+        TextAnalysis.bpeTokenCount(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(counts(1L)._1 == 19)
+    assert(counts(1L)._2 >= 19) // BPE pretokens ≥ whitespace tokens
+    val empty = Seq((9L, "   ")).toDF("doc_id", "text")
+      .select(TextAnalysis.wsTokenCount(col("text"))).collect()(0).getInt(0)
+    assert(empty == 0)
+  }
+
+  test("languageId identifies en/de/fr/es/zh, und for no signal") {
+    val langs = docsDf.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en"); assert(langs(3L) == "de")
+    assert(langs(4L) == "fr"); assert(langs(5L) == "es"); assert(langs(6L) == "zh")
+    val und = Seq((9L, "xyzzy plugh 12345")).toDF("doc_id", "text")
+      .select(TextAnalysis.languageId(col("text"))).collect()(0).getString(0)
+    assert(und == "und")
+  }
+
+  test("qualityScore in [0,1], higher for clean prose than garbage") {
+    val q = docsDf.select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(q.forall(s => s >= 0 && s <= 1))
+    val garbage = Seq((9L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")).toDF("doc_id", "text")
+      .select(TextAnalysis.qualityScore(col("text"))).collect()(0).getDouble(0)
+    val clean = q(0)
+    assert(clean > garbage)
+  }
+
+  test("fingerprint: stable, normalization-insensitive, content-sensitive") {
+    val fp = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
+    val a = fp("The quick brown fox jumps over the lazy dog")
+    assert(a == fp("the  QUICK brown\tfox jumps over the lazy dog!"))
+    assert(a != fp("an entirely different document about databases"))
+  }
+
+  test("exact dedup: groups + drop list keep min doc_id") {
+    val groups = Dedup.exactGroups(docsDf, col("text"), col("doc_id")).collect()
+    assert(groups.length == 1 && groups(0).getLong(1) == 2 && groups(0).getLong(2) == 1L)
+    val drops = Dedup.exactDropList(docsDf, col("text"), col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(drops.toSeq == Seq(8L))
+  }
+
+  test("minhash LSH: near-dup pair (1,2) found, verified by exact Jaccard") {
+    val cands = Dedup.minhashCandidates(docsDf, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"expected (1,2) candidate, got $cands")
+    val dups = Dedup.nearDuplicates(docsDf, col("text"), col("doc_id"), threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(dups.contains((1L, 2L)) && dups((1L, 2L)) > 0.5)
+    assert(dups.contains((1L, 8L)) && dups((1L, 8L)) == 1.0) // exact dup
+    assert(!dups.keySet.exists { case (a, b) => Set(a, b).contains(7L) })
+  }
+
+  test("simhash: identical text → same hash; near text → small hamming distance") {
+    val hashes = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(8L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(2L)) <= 12)
+    assert(hamming(hashes(1L), hashes(7L)) > 12)
+    val cands = Dedup.simhashCandidates(docsDf, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 8L)))
+  }
+
+  test("embedding near-dups via hyperplane LSH find planted duplicates") {
+    val vecs = (0 until 50).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+      (i.toLong, base)
+    } :+ (100L, Array.tabulate(8)(j => math.sin(3 * 8 + j).toFloat * 1.001f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, col("embedding"), col("vec_id"), dim = 8,
+        threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)), s"expected planted pair, got $pairs")
+  }
+
+  test("brute-force top-k matches manual cosine ranking on the embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val topk = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+    val rows = topk.collect()
+    assert(rows.length == 15) // 3 queries × 5
+    // ranks are 1..5 per query, cosine non-increasing
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF top-k: assignment covers all rows; probe recall overlaps brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).collect()(0).getInt(0)
+    val assigned = Similarity.ivfAssign(emb, col("embedding"), 8, dim)
+    assert(assigned.where(col("centroid").isNull).count() == 0)
+    assert(assigned.select(countDistinct(col("centroid"))).collect()(0).getLong(0) > 1)
+
+    val queries = emb.where(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 5, numCentroids = 8, dim = dim, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall vs brute force too low: $recall")
+  }
+
+  test("multimodal: stub decode plumbing — meta, features, frames, spec validation") {
+    val media = Multimodal.syntheticMedia(spark, 120)
+    val meta = Multimodal.decodeMeta(media)
+    assert(meta.count() == 120)
+    val metaDf = meta.toDF()
+    val checks = graft.compile.Compiler.compile(
+      SpecParser.parse(Multimodal.MediaSpecJson), metaDf.schema)
+    val v = Validator.run(metaDf.withColumn("part", lit("all")), checks, "doc_id", Some("part"))
+    assert(v.violations.count() == 0) // synthetic media satisfies its spec
+
+    val feats = Multimodal.featureExtract(media)
+    val norms = feats.toDF().select(
+      sqrt(aggregate(transform(col("embedding"), x => x * x),
+        lit(0.0d), (a, b) => a + b)).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-3))
+
+    val frames = Multimodal.frameSample(media, everyN = 4).toDF()
+    assert(frames.count() > 0)
+    assert(frames.select(min(col("frame_idx"))).collect()(0).getInt(0) == 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spec.SpecParser
+import graft.streaming.StreamValidator
+
+import Harness.spark
+
+/** Structured Streaming front-end: same compiled checks over a MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  case class Ev(doc_id: String, n_tok: Int, source: String, ts: java.sql.Timestamp)
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  val spec = SpecParser.parse(
+    """{"type":"object","required":["source"],
+       "properties":{"n_tok":{"type":"integer","minimum":1,"maximum":100},
+                     "source":{"type":"string","enum":["web","books"]}}}""")
+
+  test("violationStream emits per-row violations in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamValidator.violationStream(mem.toDF(), spec, "doc_id", None)
+    val q = out.writeStream.format("memory").queryName("viols").outputMode("append").start()
+    mem.addData(
+      Ev("a", 5, "web", ts("2026-01-01 00:00:00")),
+      Ev("b", 0, "web", ts("2026-01-01 00:00:10")),   // n_tok minimum
+      Ev("c", 5, "spam", ts("2026-01-01 00:00:20")),  // enum
+      Ev("d", 5, null, ts("2026-01-01 00:00:30")))    // required
+    q.processAllAvailable()
+    val rows = spark.table("viols")
+      .select("doc_id", "constraint_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("b", ".n_tok/minimum"),
+      ("c", ".source/enum"),
+      ("d", "./required:source")))
+  }
+
+  test("verdictStream aggregates per event-time window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamValidator.verdictStream(mem.toDF(), spec, "ts",
+      "1 minute", "10 seconds", part = None)
+    val q = out.writeStream.format("memory").queryName("verdicts")
+      .outputMode("complete").start()
+    mem.addData(
+      Ev("a", 5, "web", ts("2026-01-01 00:00:05")),
+      Ev("b", 0, "web", ts("2026-01-01 00:00:15")),
+      Ev("c", 5, "web", ts("2026-01-01 00:01:05")))
+    q.processAllAvailable()
+    val rows = spark.table("verdicts")
+      .select(col("window.start").cast("string"), col("constraint_id"),
+        col("total"), col("violations"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    val w0 = rows.filter(r => r._1.startsWith("2026-01-01 00:00") && r._2 == ".n_tok/minimum")
+    assert(w0.length == 1 && w0.head._3 == 2 && w0.head._4 == 1)
+    val w1 = rows.filter(r => r._1.startsWith("2026-01-01 00:01") && r._2 == ".n_tok/minimum")
+    assert(w1.length == 1 && w1.head._3 == 1 && w1.head._4 == 0)
+  }
+}
