@@ -120,6 +120,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // -- dynamic-JSON (variant) mode ----------------------------------------
+    "v_json_props_violations" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val spec = graft.spec.SpecParser.parse(
+        """{"type":"object","required":["k"],
+           "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
+      graft.run.Validator.validateJson(ev, spec, "props", docId = "event_id", part = None)
+        .violations.drop("rank").drop("part")
+        .orderBy("doc_id", "constraint_id")
+    }),
+
     // -- relational coverage (window / sort-limit / set ops) ----------------
     "q_window_top_orders" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -258,6 +269,28 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rank::INT AS rank, corpus_id, round(cos, 4) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "v_json_props_violations" ->
+      """WITH k AS (SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS kv,
+                           json_extract(props, '$.k') IS NOT NULL AS has_k
+                    FROM events)
+         SELECT event_id AS doc_id, constraint_id, path, observed, message FROM (
+           SELECT event_id, './required:k' AS constraint_id, '.' AS path,
+                  props AS observed,
+                  'Expected required property "k" to be set' AS message
+           FROM events WHERE json_extract(props, '$.k') IS NULL
+           UNION ALL
+           SELECT event_id, '.k/type:integer', '.k', CAST(kv AS VARCHAR),
+                  'Expected numeric value to be an integer'
+           FROM k WHERE has_k AND kv != floor(kv)
+           UNION ALL
+           SELECT event_id, '.k/minimum', '.k', CAST(kv AS VARCHAR),
+                  'Expected numeric value be greater than or equal to 0'
+           FROM k WHERE has_k AND kv < 0
+           UNION ALL
+           SELECT event_id, '.k/maximum', '.k', CAST(kv AS VARCHAR),
+                  'Expected numeric value be less than or equal to 50'
+           FROM k WHERE has_k AND kv > 50
+         ) ORDER BY doc_id, constraint_id""",
     "q_window_top_orders" ->
       """SELECT o_custkey, rk::INT AS rk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -27,14 +27,27 @@ object CrossRow {
   /** Cross-row checks rank after all row-level checks in golden ordering. */
   val BaseRank = 1000
 
-  /** (key, cnt) for keys occurring more than once — salted two-stage agg. */
+  /** (key, cnt) for keys occurring more than once — salted two-stage agg.
+    *
+    * Hash-first: stage 1+2 aggregate on `xxhash64(key)` (8 bytes shuffled
+    * per row instead of the full key), then the tiny >1 hash set joins back
+    * to real keys and is re-counted EXACTLY — a 64-bit collision can only
+    * send a unique key into the re-check, never corrupt a count. */
   def duplicateKeys(df: DataFrame, key: String): DataFrame = {
-    val partial = df.select(col(key))
+    val hashed = df.select(col(key), xxhash64(col(key)).as("_kh"))
+    val partial = hashed.select(col("_kh"))
       .withColumn("_salt", spark_partition_id())
-      .groupBy(col(key), col("_salt"))
+      .groupBy(col("_kh"), col("_salt"))
       .agg(count(lit(1)).as("_pc"))
-    partial.groupBy(col(key))
-      .agg(sum(col("_pc")).as("cnt"))
+    val dupHashes = partial.groupBy(col("_kh"))
+      .agg(sum(col("_pc")).as("_hc"))
+      .where(col("_hc") > 1)
+      .select(col("_kh"))
+    // exact re-count over only the candidate keys (dup set ≪ table; AQE
+    // broadcasts the hash set at runtime)
+    hashed.join(dupHashes, Seq("_kh"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
   }
 

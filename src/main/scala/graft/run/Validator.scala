@@ -54,6 +54,15 @@ object Validator {
     run(df, Compiler.compileColumn(spec, column, dt), docId, part)
   }
 
+  /** Dynamic-JSON mode: validate a JSON-string column against a spec with
+    * per-row runtime type dispatch (VariantCompiler) — the exact analog of
+    * the reference's `validator.validate(JSON.parse(s))`. */
+  def validateJson(df: DataFrame, spec: Spec, jsonColumn: String,
+                   docId: String = "doc_id", part: Option[String] = Some("part")): Validation = {
+    val parsed = df.withColumn("_variant", parse_json(col(jsonColumn)))
+    run(parsed, graft.compile.VariantCompiler.compile(spec, col("_variant")), docId, part)
+  }
+
   def run(df: DataFrame, checks: Vector[CompiledCheck], docId: String,
           part: Option[String]): Validation = {
     val partCol: Column = part.map(col).getOrElse(lit("all"))
