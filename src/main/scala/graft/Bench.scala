@@ -36,24 +36,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
+    val spark = graft.tools.ScalingBench.session(cpus.toInt)
 
     // JVM/codegen warmup on a small run so measured numbers are steady-state
     runSuite(spark, 50000L)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 

@@ -67,8 +67,8 @@ object PipelineQueries {
       Dedup.nearDuplicates(docsWithDups(s, dir), col("text"), col("doc_id"),
         threshold = 0.9).orderBy("doc_a", "doc_b")),
     "p_simhash" -> ((s, dir) => // hash-based: rows-only oracle
-      docsWithDups(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")),
+      Dedup.withSimhash(docsWithDups(s, dir).select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
     "p_embedding_neardups" -> ((s, dir) => { // planted near-identical vector
       val e = emb(s, dir)
       val planted = e.unionByName(
@@ -99,8 +99,9 @@ object PipelineQueries {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
     "p_fingerprint" -> ((s, dir) => // xxhash64-based: rows-only oracle
-      docsWithDups(s, dir)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      TextAnalysis.withShingles(docsWithDups(s, dir).select(col("doc_id"), col("text")),
+          col("text"))
+        .select(col("doc_id"), TextAnalysis.fingerprintFromShingles(col("_sh")).as("fp"))
         .orderBy("doc_id")),
 
     // -- similarity search --------------------------------------------------

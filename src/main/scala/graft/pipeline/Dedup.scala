@@ -34,23 +34,32 @@ object Dedup {
 
   // -- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signature: H seeded min-hashes over word k-shingles. One
+  /** MinHash signature from a MATERIALIZED shingle column (see
+    * TextAnalysis.shinglesFromWords performance contract — an inline shingle
+    * expression would be re-evaluated per hash index, ×numHashes). One
     * xxhash64 per (shingle × hash-index), all inside codegen. */
-  def minhashSignature(text: Column, numHashes: Int = 32, k: Int = 3): Column = {
-    val sh = TextAnalysis.shingles(text, k)
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 32): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(sh, s => xxhash64(s, h))))
-  }
+
+  /** Small-input convenience (inlines shingles; at scale use the staged
+    * form via lshBuckets which materializes them first). */
+  def minhashSignature(text: Column, numHashes: Int = 32, k: Int = 3): Column =
+    minhashSignatureFromShingles(TextAnalysis.shingles(text, k), numHashes)
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`;
     * each band hashes to one bucket id. Docs sharing ANY band bucket are
     * candidates. Returns (doc_id, band, bucket). */
   def lshBuckets(df: DataFrame, text: Column, docId: Column,
                  bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
-    val sig = minhashSignature(text, bands * rowsPerBand, k)
+    // stage: words → shingles → signature → band buckets, one projection
+    // each, so nothing is re-evaluated inside downstream lambdas
+    val staged = TextAnalysis.withShingles(df.select(docId.as("doc_id"), text.as("_t")),
+        col("_t"), k)
+      .withColumn("_sig", minhashSignatureFromShingles(col("_sh"), bands * rowsPerBand))
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ","), b))
-    df.select(docId.as("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
+      b => xxhash64(array_join(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","), b))
+    staged.select(col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
   }
 
   /** Candidate near-dup pairs from LSH: self-join WITHIN (band, bucket) only
@@ -79,8 +88,9 @@ object Dedup {
   def jaccardVerify(df: DataFrame, text: Column, docId: Column,
                     candidates: DataFrame, k: Int = 3,
                     threshold: Double = 0.7): DataFrame = {
-    val sh = df.select(docId.as("doc_id"),
-      array_distinct(TextAnalysis.shingles(text, k)).as("sh"))
+    val sh = TextAnalysis.withShingles(df.select(docId.as("doc_id"), text.as("_t")),
+        col("_t"), k)
+      .select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
     val j = candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
@@ -102,8 +112,7 @@ object Dedup {
 
   /** 64-bit SimHash over words: bit i is the sign of Σ_w (±1 by bit i of
     * hash(w)). Near-dups differ in few bits. */
-  def simhash(text: Column, bits: Int = 64): Column = {
-    val hashes = transform(TextAnalysis.words(text), w => xxhash64(w))
+  def simhashFromHashes(hashes: Column, bits: Int = 64): Column = {
     val bitCols = transform(sequence(lit(0), lit(bits - 1)), i =>
       when(aggregate(hashes, lit(0L),
         (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -112,17 +121,30 @@ object Dedup {
       (bit, i) => call_function("shiftleft", bit, i.cast("int"))), lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Small-input convenience — inlines word hashes (re-evaluated per bit,
+    * ×64); at scale use `withSimhash`. */
+  def simhash(text: Column, bits: Int = 64): Column =
+    simhashFromHashes(transform(TextAnalysis.words(text), w => xxhash64(w)), bits)
+
+  /** Staged simhash: word-hash array materialized once, then 64 bit-sums. */
+  def withSimhash(df: DataFrame, text: Column, out: String = "simhash",
+                  bits: Int = 64): DataFrame =
+    df.withColumn("_graft_wh", transform(TextAnalysis.words(text), w => xxhash64(w)))
+      .withColumn(out, simhashFromHashes(col("_graft_wh"), bits))
+      .drop("_graft_wh")
+
   /** SimHash near-dup candidates: band the 64 bits into `bands` chunks; docs
     * sharing any chunk value are candidates (≤ hammingMax differing bits
     * guarantees a shared band when bands > hammingMax). */
   def simhashCandidates(df: DataFrame, text: Column, docId: Column,
                         bands: Int = 4, maxBucket: Int = 64): DataFrame = {
     val width = 64 / bands
-    val sh = simhash(text)
+    val staged = withSimhash(df.select(docId.as("doc_id"), text.as("_t")), col("_t"), "_sh64")
+    val sh = col("_sh64")
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         call_function("shiftright", sh, b * lit(width)).bitwiseAND(lit((1L << width) - 1)).as("bucket")))
-    val exploded = df.select(docId.as("doc_id"), explode(bandBuckets).as("bb"))
+    val exploded = staged.select(col("doc_id"), explode(bandBuckets).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val grouped = exploded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("docs"))

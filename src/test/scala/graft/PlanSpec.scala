@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dataset.CrossRow
+import graft.run.Validator
+import graft.spec.SpecParser
+
+import Harness.spark
+
+/** Physical-plan quality gates: these assertions fail if a change breaks
+  * column pruning, filter pushdown, partial aggregation, or broadcast
+  * strategy — the properties the 100 TB story depends on. */
+class PlanSpec extends AnyFunSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey")).where(col("l_orderkey") > 100)
+    val p = planOf(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]"), p)
+  }
+
+  test("uniqueness verdict scans only the key column (column pruning)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("part", col("source"))
+    val v = CrossRow.uniqueness(df, "doc_id", "part")
+    // the dup-detection branch must not read text/lang/n_chars
+    val p = planOf(v.violations)
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text"), "dup scan reads full width:\n" + p)
+  }
+
+  test("verdict aggregation is partially aggregated (map-side combine)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v = Validator.validate(df, SpecParser.parse(SparkEntry.DocSpecJson),
+      docId = "doc_id", part = None)
+    val p = planOf(v.verdicts)
+    // two HashAggregates around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("referential integrity uses a broadcast join, never shuffling the fact side") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("part", col("lang"))
+    val dim = graft.data.SequenceGen.dimSources(spark)
+    val v = CrossRow.referential(df, "source", dim, "source")
+    val p = planOf(v.violations)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("row checks compile to a single scan with zero shuffles before the verdict agg") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v = Validator.validate(df, SpecParser.parse(SparkEntry.DocSpecJson),
+      docId = "doc_id", part = None)
+    val p = planOf(v.verdicts)
+    assert("Scan parquet".r.findAllIn(p).size == 1, "row verdicts should scan once:\n" + p)
+    assert("Exchange".r.findAllIn(p).size <= 2, "at most verdict agg + sort exchanges:\n" + p)
+  }
+}
