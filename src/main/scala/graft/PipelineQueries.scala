@@ -67,8 +67,8 @@ object PipelineQueries {
       Dedup.nearDuplicates(docsWithDups(s, dir), col("text"), col("doc_id"),
         threshold = 0.9).orderBy("doc_a", "doc_b")),
     "p_simhash" -> ((s, dir) => // hash-based: rows-only oracle
-      Dedup.withSimhash(docsWithDups(s, dir).select(col("doc_id"), col("text")), col("text"))
-        .select(col("doc_id"), col("simhash")).orderBy("doc_id")),
+      Dedup.simhashByKey(docsWithDups(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
     "p_embedding_neardups" -> ((s, dir) => { // planted near-identical vector
       val e = emb(s, dir)
       val planted = e.unionByName(

@@ -126,12 +126,34 @@ object Dedup {
   def simhash(text: Column, bits: Int = 64): Column =
     simhashFromHashes(transform(TextAnalysis.words(text), w => xxhash64(w)), bits)
 
-  /** Staged simhash: word-hash array materialized once, then 64 bit-sums. */
+  /** Staged simhash: word-hash array materialized once, then 64 bit-sums.
+    * Higher-order aggregates are interpreted per element — for large corpora
+    * prefer `simhashByKey` (codegen'd). */
   def withSimhash(df: DataFrame, text: Column, out: String = "simhash",
                   bits: Int = 64): DataFrame =
     df.withColumn("_graft_wh", transform(TextAnalysis.words(text), w => xxhash64(w)))
       .withColumn(out, simhashFromHashes(col("_graft_wh"), bits))
       .drop("_graft_wh")
+
+  /** Scale-path simhash: explode words → ONE codegen'd HashAggregate with 64
+    * conditional sums (map-side combined), then reassemble the bit vector —
+    * identical output to `withSimhash`, but whole-stage-codegen'd instead of
+    * 64 interpreted lambda passes over the hash array. Returns
+    * (doc_id, simhash). */
+  def simhashByKey(df: DataFrame, text: Column, docId: Column,
+                   bits: Int = 64): DataFrame = {
+    val words = df.select(docId.as("doc_id"), explode_outer(TextAnalysis.words(text)).as("_w"))
+    val h = xxhash64(col("_w"))
+    val sums = (0 until bits).map { i =>
+      sum(when(col("_w").isNull, lit(0L)).otherwise(
+        when(call_function("shiftright", h, lit(i)).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+        .as(s"_b$i")
+    }
+    words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
 
   /** SimHash near-dup candidates: band the 64 bits into `bands` chunks; docs
     * sharing any chunk value are candidates (≤ hammingMax differing bits
@@ -139,8 +161,8 @@ object Dedup {
   def simhashCandidates(df: DataFrame, text: Column, docId: Column,
                         bands: Int = 4, maxBucket: Int = 64): DataFrame = {
     val width = 64 / bands
-    val staged = withSimhash(df.select(docId.as("doc_id"), text.as("_t")), col("_t"), "_sh64")
-    val sh = col("_sh64")
+    val staged = simhashByKey(df, text, docId)
+    val sh = col("simhash")
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         call_function("shiftright", sh, b * lit(width)).bitwiseAND(lit((1L << width) - 1)).as("bucket")))

@@ -91,6 +91,10 @@ class PipelineSpec extends AnyFunSuite {
     val cands = Dedup.simhashCandidates(docsDf, col("text"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 8L)))
+    // the codegen'd explode+agg formulation must equal the lambda one
+    val byKey = Dedup.simhashByKey(docsDf, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey == hashes)
   }
 
   test("embedding near-dups via hyperplane LSH find planted duplicates") {
