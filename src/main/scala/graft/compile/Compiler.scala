@@ -414,7 +414,9 @@ object Compiler {
     val fmt = s.format.toVector.flatMap { name =>
       if (Formats.unsupported.contains(name))
         throw SpecError(s"""format "$name" is not implemented""")
-      Formats.regexFor(name).map(re =>
+      if (name == "regex")
+        Vector(mkc("format", Messages.format(name), Formats.regexCompiles(v), v))
+      else Formats.regexFor(name).map(re =>
         mkc("format", Messages.format(name), v.rlike(re), v)).toVector
     }
     val enumChecks = enumCheck(s.enumList, loc, mkc, obsOf)
@@ -513,8 +515,8 @@ object Compiler {
         else v.cast(DoubleType).isin(nums.map(_.toDouble): _*)
       case _: ArrayType | _: StructType =>
         val rendered = enumList.collect {
-          case a: JArr => a.render
-          case o: JObj => renderForSchema(o, loc)
+          case a: JArr => renderForType(a, loc.dt)
+          case o: JObj => renderForType(o, loc.dt)
         }
         if (rendered.isEmpty) lit(false) else to_json(v).isin(rendered: _*)
       case _ => lit(false)
@@ -526,13 +528,30 @@ object Compiler {
     case _                                       => false
   }
 
-  /** Render a JSON object with fields in schema order for `to_json` compare. */
-  private def renderForSchema(o: JObj, loc: Loc): String = {
-    val order = loc.fields.map(_.name)
-    val sorted = o.fields.sortBy { case (k, _) =>
-      val i = order.indexOf(k); if (i < 0) Int.MaxValue else i
-    }
-    JObj(sorted.filter(_._2 != JNull)).render // to_json drops null fields
+  /** Render a JSON value exactly as `to_json` over a column of type `dt`
+    * would: numeric formatting follows the COLUMN type (a double column
+    * renders 1 as "1.0", a decimal keeps its scale), object fields follow
+    * schema order, null fields are dropped. Driver-rendered canonical JSON
+    * that ignored the column type could never match fractional-typed
+    * enum/const values even when numerically equal (the reference compares
+    * `JSON::Any` numerically — 1 == 1.0). */
+  private def renderForType(j: JsonVal, dt: DataType): String = (j, dt) match {
+    case (n: JNum, FloatType | DoubleType) =>
+      if (n.v.isWhole) n.v.toBigInt.toString + ".0"
+      else n.v.underlying.stripTrailingZeros.toPlainString
+    case (n: JNum, d: DecimalType) =>
+      n.v.underlying.setScale(d.scale).toPlainString
+    case (a: JArr, at: ArrayType) =>
+      a.items.map(renderForType(_, at.elementType)).mkString("[", ",", "]")
+    case (o: JObj, st: StructType) =>
+      val known = st.fields.toVector.flatMap { f =>
+        o.get(f.name).filter(_ != JNull)
+          .map(v => JsonVal.quote(f.name) + ":" + renderForType(v, f.dataType))
+      }
+      val extra = o.fields.filter { case (k, v) => !st.fieldNames.contains(k) && v != JNull }
+        .map { case (k, v) => JsonVal.quote(k) + ":" + v.render }
+      (known ++ extra).mkString("{", ",", "}")
+    case _ => j.render
   }
 
   private def genericChecks(
@@ -553,8 +572,8 @@ object Compiler {
         case n: JNum if loc.dt.isInstanceOf[NumericType] =>
           v.cast(DoubleType) === n.toDouble
         case JNull                               => v.isNull
-        case a: JArr if loc.dt.isInstanceOf[ArrayType] => to_json(v) === a.render
-        case o: JObj if loc.dt.isInstanceOf[StructType] => to_json(v) === renderForSchema(o, loc)
+        case a: JArr if loc.dt.isInstanceOf[ArrayType] => to_json(v) === renderForType(a, loc.dt)
+        case o: JObj if loc.dt.isInstanceOf[StructType] => to_json(v) === renderForType(o, loc.dt)
         case _                                   => lit(false)
       }
       mkc("const", Messages.constMismatch(constRender(c)), ok, obsOf(loc))

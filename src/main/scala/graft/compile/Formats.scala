@@ -35,8 +35,18 @@ object Formats {
     Set("idn-email", "idn-hostname", "uri-reference", "iri", "iri-reference")
 
   def regexFor(name: String): Option[String] =
-    if (name == "regex") None // driver-side try-compile, not a data check
+    if (name == "regex") None // no regex-shaped regex exists: see regexCompiles
     else regexes.get(name)
+
+  /** format:"regex" data check — validity is "compiles as a regex", which no
+    * regex can itself express, so this is the one UDF in the compilers (runs
+    * only when a spec uses format:"regex"; never on the generic hot path). */
+  val regexCompiles: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) false
+      else try { java.util.regex.Pattern.compile(s); true }
+      catch { case _: Throwable => false }
+    }
 
   /** Driver-side check (for propertyNames and spec validation). */
   def matches(name: String, value: String): Boolean = name match {

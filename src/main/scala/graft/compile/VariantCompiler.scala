@@ -275,7 +275,9 @@ object VariantCompiler {
     val fmt = s.format.toVector.flatMap { name =>
       if (Formats.unsupported.contains(name))
         throw SpecError(s"""format "$name" is not implemented""")
-      Formats.regexFor(name).map(re =>
+      if (name == "regex")
+        Vector(("format", Messages.format(name), (c: Column) => Formats.regexCompiles(c)))
+      else Formats.regexFor(name).map(re =>
         ("format", Messages.format(name), (c: Column) => c.rlike(re))).toVector
     }
     val en = if (s.enumList.nonEmpty) {

@@ -60,19 +60,37 @@ object Suite {
   }
 
   /** Checkpointed run: skip already-validated partitions (resume), validate
-    * the remainder, append their stats sketches to the metrics store. */
+    * the remainder, then — only after `sink` has MATERIALIZED the results —
+    * append their stats sketches to the metrics store.
+    *
+    * Ordering matters: appending to the store is what marks a partition
+    * validated, and the Validation frames are lazy. Appending before the
+    * caller executed them would let a crash mid-run permanently mark
+    * never-validated partitions complete (a later resume would silently skip
+    * them). `sink` is the caller's terminal action (write verdicts +
+    * violations somewhere durable); the default forces full evaluation of
+    * both frames. */
   def resumableRun(df: DataFrame, dim: DataFrame, store: MetricsStore,
                    spec: Spec = SpecParser.parse(SequenceGen.SeqSpecJson),
                    cfg: Config = Config(),
-                   runEpoch: Long = System.currentTimeMillis()): Option[Validation] = {
+                   runEpoch: Long = System.currentTimeMillis(),
+                   sink: Validation => Unit = defaultSink): Option[Validation] = {
     val specHash = SpecJson.hash(spec)
     val todo = store.remaining(df, specHash, cfg.part)
     if (todo.isEmpty) return None
     val result = validateSequences(todo, dim, spec, cfg)
+    sink(result) // validation executes HERE; an exception skips the append
     store.append(
       Metrics.partitionStats(todo, cfg.part, cfg.docId, cfg.nTok, cfg.source),
       specHash, runEpoch)
     Some(result)
+  }
+
+  /** Forces both result frames (smallest terminal action that proves the
+    * validation ran); real deployments pass a durable writer instead. */
+  private def defaultSink(v: Validation): Unit = {
+    v.verdicts.agg(sum(col("violations"))).collect()
+    v.violations.write.format("noop").mode("overwrite").save()
   }
 
   /** Convenience: generated sequences at a given row count (bench + tests). */

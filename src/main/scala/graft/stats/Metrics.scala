@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * step 5, north-star "validation state").
   *
   * Stats are one `groupBy(part)` with mergeable sketches — HyperLogLog++
-  * (`approx_count_distinct`) and Greenwald-Khanna quantiles
-  * (`percentile_approx`); partial aggregation makes the shuffle
-  * O(parts), not O(rows).
+  * (`approx_count_distinct`), Greenwald-Khanna quantiles
+  * (`percentile_approx`), and the t-digest (`TDigestAgg.tdigestSketch` —
+  * checkpointed as centroid state so per-partition digests MERGE into
+  * table-level quantiles without re-reading data); partial aggregation makes
+  * the shuffle O(parts), not O(rows).
   *
   * Checkpointing: metrics rows are keyed by (part, spec_hash, run_epoch) and
   * appended via Spark's file-commit protocol (write-to-temp then atomic
@@ -30,10 +32,22 @@ object Metrics {
       avg(col(numeric)).as(s"${numeric}_avg"),
       percentile_approx(col(numeric), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
         .as(s"${numeric}_quantiles"),
+      TDigestAgg.tdigestSketch()(col(numeric).cast("double"))
+        .as(s"${numeric}_tdigest"),
       approx_count_distinct(col(key)).as(s"${key}_approx_distinct"),
       sum(col(key).isNull.cast("long")).as(s"${key}_nulls"),
       sum(col(cat).isNull.cast("long")).as(s"${cat}_nulls"),
       approx_count_distinct(col(cat)).as(s"${cat}_approx_distinct"))
+
+  /** Merge checkpointed per-partition digest states (|parts| rows — driver
+    * scale) into one table-level digest: quantiles over the whole table from
+    * the metrics store alone, no data re-read. */
+  def mergedDigest(stats: DataFrame, stateCol: String): TDigest =
+    stats.select(col(s"$stateCol.means"), col(s"$stateCol.weights"))
+      .collect()
+      .foldLeft(new TDigest()) { (acc, row) =>
+        acc.merge(TDigest.fromState(row.getSeq[Double](0), row.getSeq[Double](1)))
+      }
 }
 
 /** Hive-partitioned-parquet metrics store. The Iceberg metrics table is a
@@ -41,7 +55,9 @@ object Metrics {
   * SURVEY.md §7.3). */
 final case class MetricsStore(dir: String) {
 
-  /** Append a finished run's per-partition stats under its spec lineage. */
+  /** Append a finished run's per-partition stats under its spec lineage.
+    * Call AFTER the validation results are materialized — `Suite
+    * .resumableRun` owns that ordering. */
   def append(metrics: DataFrame, specHash: String, runEpoch: Long): Unit =
     metrics
       .withColumn("spec_hash", lit(specHash))
@@ -51,19 +67,27 @@ final case class MetricsStore(dir: String) {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(dir)
 
   /** Partitions already validated under this spec lineage (any epoch —
-    * retries are idempotent because verdicts are deterministic re-runs). */
-  def completedParts(spark: SparkSession, specHash: String): Seq[String] =
-    if (!new java.io.File(dir).exists()) Seq.empty
+    * retries are idempotent because verdicts are deterministic re-runs).
+    * Store existence goes through the Hadoop FileSystem API so hdfs:// and
+    * s3:// store URIs behave like local paths. */
+  def completedParts(spark: SparkSession, specHash: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
     else read(spark)
       .where(col("spec_hash") === specHash)
-      .select(col("part")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .select(col("part").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.filter(_ != null)
+  }
 
   /** Resume filter: only not-yet-validated partitions. The `isin` over the
     * (small) completed list is a static predicate → partition pruning at the
-    * file listing, so completed partitions are never read. */
+    * file listing, so completed partitions are never read. Null-safe: rows
+    * with a null partition value are never silently dropped (a null `isin`
+    * would otherwise filter them out once any partition completed). */
   def remaining(df: DataFrame, specHash: String, part: String = "part"): DataFrame = {
     val done = completedParts(df.sparkSession, specHash)
-    if (done.isEmpty) df else df.where(!col(part).isin(done: _*))
+    if (done.isEmpty) df
+    else df.where(coalesce(!col(part).cast("string").isin(done: _*), lit(true)))
   }
 }

@@ -81,6 +81,10 @@ final class TDigest(val compression: Double = 100.0,
     weights = outW.toArray
   }
 
+  private[stats] def loadState(m: Array[Double], w: Array[Double]): Unit = {
+    means = m; weights = w; totalWeight = w.sum
+  }
+
   /** Interpolated quantile estimate (midpoint rule between centroids). */
   def quantile(q: Double): Double = {
     flush()
@@ -102,6 +106,22 @@ final class TDigest(val compression: Double = 100.0,
 
   def centroidCount: Int = { flush(); means.length }
   def size: Double = { flush(); totalWeight }
+
+  /** Serializable centroid state (means, weights) — the checkpointed form:
+    * digests rebuilt from state MERGE like live ones, so per-partition rows
+    * in the metrics store combine into table-level quantiles without
+    * re-reading data. */
+  def state: (Array[Double], Array[Double]) = { flush(); (means.clone(), weights.clone()) }
+}
+
+object TDigest {
+  /** Rebuild a digest from checkpointed state. */
+  def fromState(means: Seq[Double], weights: Seq[Double],
+                compression: Double = 100.0): TDigest = {
+    val d = new TDigest(compression)
+    d.loadState(means.toArray, weights.toArray)
+    d
+  }
 }
 
 /** `Aggregator` over doubles → requested quantiles. */
@@ -115,9 +135,31 @@ final class TDigestQuantiles(qs: Seq[Double], compression: Double = 100.0)
   def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
 
+/** Checkpointable digest state: one row per digest in the metrics store. */
+final case class TDigestState(means: Seq[Double], weights: Seq[Double])
+
+/** `Aggregator` over doubles → serializable digest state (the mergeable
+  * checkpoint form the north star names for validation state). */
+final class TDigestSketch(compression: Double = 100.0)
+    extends Aggregator[Double, TDigest, TDigestState] {
+  def zero: TDigest = new TDigest(compression)
+  def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+  def merge(b1: TDigest, b2: TDigest): TDigest = b1.merge(b2)
+  def finish(r: TDigest): TDigestState = {
+    val (m, w) = r.state
+    TDigestState(m.toSeq, w.toSeq)
+  }
+  def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+  def outputEncoder: Encoder[TDigestState] = ExpressionEncoder[TDigestState]()
+}
+
 object TDigestAgg {
   /** DataFrame-friendly UDAF: `df.agg(tdigestQuantiles(0.5, 0.99)(col("x")))`.
     * Partial-aggregates map-side and merges like built-in sketches. */
   def tdigestQuantiles(qs: Double*): UserDefinedFunction =
     functions.udaf(new TDigestQuantiles(qs.toSeq), Encoders.scalaDouble)
+
+  /** Digest-state UDAF — emits struct<means,weights> for checkpointing. */
+  def tdigestSketch(compression: Double = 100.0): UserDefinedFunction =
+    functions.udaf(new TDigestSketch(compression), Encoders.scalaDouble)
 }

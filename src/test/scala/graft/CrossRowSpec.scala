@@ -112,9 +112,14 @@ class CrossRowSpec extends AnyFunSuite {
     import graft.stats.MetricsStore
     val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString
     val store = MetricsStore(s"$dir/metrics")
-    val first = graft.run.Suite.resumableRun(seqs, dim, store)
-    assert(first.isDefined)
-    first.get.verdicts.count() // execute so metrics are written
+    // a crashing sink must NOT mark anything validated (metrics append
+    // happens only after the sink materializes results)
+    intercept[RuntimeException] {
+      graft.run.Suite.resumableRun(seqs, dim, store,
+        sink = _ => throw new RuntimeException("simulated sink crash"))
+    }
+    assert(graft.run.Suite.resumableRun(seqs, dim, store).isDefined,
+      "crashed run left no checkpoint → everything still to-do")
     val second = graft.run.Suite.resumableRun(seqs, dim, store)
     assert(second.isEmpty, "all partitions already validated → resume skips everything")
     // partial resume: a fresh store with only half the partitions marked done

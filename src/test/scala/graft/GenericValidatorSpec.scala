@@ -33,6 +33,20 @@ class GenericValidatorSpec extends AnyFunSuite {
     assertError(errorsForValue(schema, "'purple'"), "Expected value to be testing")
   }
 
+  test("enum/const over fractional-typed arrays render by COLUMN type (1 matches [1.0,2.5])") {
+    // a double-array column renders whole numbers as "1.0" in to_json; the
+    // driver-side literal must render the same way or equality never holds
+    val enumSchema = """{"type":"array","enum":[[1,2.5],[3,4]]}"""
+    assertSuccess(errorsForValue(enumSchema, "array(cast(1 as double), cast(2.5 as double))"))
+    assertError(errorsForValue(enumSchema, "array(cast(9 as double), cast(9 as double))"),
+      "Expected value to be equal to the enum")
+    val constSchema = """{"const":[1,2]}"""
+    assertSuccess(errorsForValue(constSchema, "array(cast(1 as double), cast(2 as double))"))
+    assertSuccess(errorsForValue(constSchema, "array(1, 2)"))
+    assertError(errorsForValue(constSchema, "array(cast(1.5 as double))"),
+      "Expected value to be [1,2]")
+  }
+
   test("allOf collapses to a single error (validator.cr:510-514)") {
     val schema = """{"allOf":[{"type":"number","minimum":10},{"type":"number","maximum":20}]}"""
     assertSuccess(errorsForValue(schema, "15"))

@@ -51,4 +51,11 @@ class StringValidatorSpec extends AnyFunSuite {
     assertError(errorsForValue(dateTimeFormat, "'test'"),
       """Expected string to match format "date-time"""")
   }
+
+  test("""format regex: value must compile as a regex (the one UDF check)""") {
+    val regexFormat = """{"type":"string","format":"regex"}"""
+    assertSuccess(errorsForValue(regexFormat, "'^a[bc]+$'"))
+    assertError(errorsForValue(regexFormat, "'a[unclosed'"),
+      """Expected string to match format "regex"""")
+  }
 }

@@ -39,6 +39,27 @@ class TDigestSpec extends AnyFunSuite {
     assert(merged.size == data.length)
   }
 
+  test("checkpointed digest state: merge of per-partition sketches == table-level quantiles") {
+    // the metrics-store path: partitionStats emits one digest STATE per
+    // partition; merging those states must reproduce whole-table quantiles
+    // without re-reading data (the north star's checkpointed mergeable state)
+    val df = graft.data.SequenceGen.sequences(spark, 20000L, 4)
+    val stats = graft.stats.Metrics.partitionStats(df)
+    val merged = graft.stats.Metrics.mergedDigest(stats, "n_tok_tdigest")
+    assert(merged.size == 20000.0, "merged weight = total rows")
+    val exact = df.selectExpr("percentile(n_tok, array(0.5, 0.95))")
+      .collect()(0).getSeq[Double](0)
+    Seq(0.5 -> exact(0), 0.95 -> exact(1)).foreach { case (q, x) =>
+      val e = merged.quantile(q)
+      assert(math.abs(e - x) <= math.max(3.0, x * 0.05), s"q=$q merged=$e exact=$x")
+    }
+    // round-trip through parquet (the actual checkpoint medium)
+    val dir = java.nio.file.Files.createTempDirectory("graft-td").toString
+    stats.write.mode("overwrite").parquet(dir)
+    val reread = graft.stats.Metrics.mergedDigest(spark.read.parquet(dir), "n_tok_tdigest")
+    assert(math.abs(reread.quantile(0.5) - merged.quantile(0.5)) < 1e-9)
+  }
+
   test("Spark UDAF: per-partition quantiles close to exact percentile") {
     val df = graft.data.SequenceGen.sequences(spark, 20000L, 4)
     val tdq = TDigestAgg.tdigestQuantiles(0.5, 0.95)

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle gate.
+
+Usage: python3 tools/oracle_compare.py [sfDir] [voutDir]
+Compares each /tmp/vout/<name>/*.parquet against its oracle SQL run in
+DuckDB over the sfDir parquet tables; prints per-query MATCH / MISMATCH.
+"""
+import duckdb, json, sys, decimal, hashlib
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+vout = sys.argv[2] if len(sys.argv) > 2 else '/tmp/vout'
+
+con = duckdb.connect()
+for t in ['documents', 'lineitem', 'orders', 'customer', 'nation', 'region',
+          'supplier', 'part', 'events', 'embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+oracle = json.load(open(f'{vout}/oracle_sql.json'))
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        sq = con.execute(f"SELECT * FROM '{vout}/{name}/*.parquet'")
+        scols = [d[0] for d in sq.description]
+        srows = sq.fetchall()
+        oq = con.execute(sql)
+        ocols = [d[0] for d in oq.description]
+        orows = oq.fetchall()
+    except Exception as e:
+        print(f"{name}: ERROR {e}")
+        fails += 1
+        continue
+    sc, sr = canon(scols, srows)
+    oc, orr = canon(ocols, orows)
+    if sc != oc:
+        print(f"{name}: SCHEMA MISMATCH spark={sc} oracle={oc}")
+        fails += 1
+    elif sr != orr:
+        diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+        print(f"{name}: ROW MISMATCH rows spark={len(sr)} oracle={len(orr)} first_diffs={diff}")
+        fails += 1
+    else:
+        print(f"{name}: MATCH ({len(sr)} rows)")
+no_oracle = [d for d in __import__('os').listdir(vout)
+             if d != 'oracle_sql.json' and d not in oracle]
+for d in sorted(no_oracle):
+    print(f"{d}: no_oracle")
+sys.exit(1 if fails else 0)
