@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Hashing.HashFamily
+
 /** Deduplication operators for training-data pipelines, in increasing
   * fuzziness: exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard
   * verification, embedding-cosine near-dup.
@@ -10,7 +12,17 @@ import org.apache.spark.sql.functions._
   * Scale design: every method is shuffle-bounded by either a key groupBy
   * (partial agg) or an LSH band-bucket join — NEVER an all-pairs product.
   * Candidate pairs are generated only within LSH buckets, then verified with
-  * an exact measure; bucket skew is bounded by banding parameters.
+  * an exact measure; bucket skew is bounded by banding parameters, and
+  * buckets over the cap are DROPPED AND COUNTED (`*BucketStats`) so recall
+  * loss is observable, never silent.
+  *
+  * Execution shape (the r1→r2 rewrite): signatures come from ONE
+  * explode + codegen'd HashAggregate with `numHashes` min-aggregates —
+  * hashes per corpus = |shingle instances| × numHashes, all inside
+  * whole-stage codegen. The previous higher-order-function form
+  * (`transform(sequence, h => array_min(transform(sh, s => hash(s,h))))`)
+  * was interpreted AND re-walked the shingle array per hash index
+  * (51.7 s → target ≤5 s on the sf0.1 bench corpus).
   */
 object Dedup {
 
@@ -34,63 +46,111 @@ object Dedup {
 
   // -- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signature from a MATERIALIZED shingle column (see
-    * TextAnalysis.shinglesFromWords performance contract — an inline shingle
-    * expression would be re-evaluated per hash index, ×numHashes). One
-    * xxhash64 per (shingle × hash-index), all inside codegen. */
+  /** Staged (doc_id, _sh) shingle frame — ONE narrow projection chain shared
+    * by signatures, bucketing, and Jaccard verify (see
+    * TextAnalysis.shinglesFromWords performance contract). */
+  def shingleFrame(df: DataFrame, text: Column, docId: Column, k: Int = 3): DataFrame =
+    TextAnalysis.withShingles(df.select(docId.as("doc_id"), text.as("_t")), col("_t"), k)
+      .select(col("doc_id"), col("_sh"))
+
+  /** MinHash signatures from a shingle frame: explode shingles → one
+    * HashAggregate computing `numHashes` `min(hash(s, i))` columns
+    * (map-side combined, whole-stage codegen). Returns
+    * (doc_id, _m0.._m{numHashes-1}). */
+  def minhashSignatures(shf: DataFrame, numHashes: Int = 32,
+                        hash: HashFamily = Hashing.Xx): DataFrame = {
+    val ex = shf.select(col("doc_id"), explode(col("_sh")).as("_s"))
+    val aggs = (0 until numHashes).map(i => min(hash.seeded(col("_s"), i)).as(s"_m$i"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Legacy HOF signature form (kept for small inputs + the parity test:
+    * identical values to `minhashSignatures`, interpreted execution). */
   def minhashSignatureFromShingles(sh: Column, numHashes: Int = 32): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(sh, s => xxhash64(s, h))))
 
-  /** Small-input convenience (inlines shingles; at scale use the staged
-    * form via lshBuckets which materializes them first). */
+  /** Small-input convenience (inlines shingles; at scale use
+    * `minhashSignatures` over a staged shingle frame). */
   def minhashSignature(text: Column, numHashes: Int = 32, k: Int = 3): Column =
     minhashSignatureFromShingles(TextAnalysis.shingles(text, k), numHashes)
 
-  /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`;
-    * each band hashes to one bucket id. Docs sharing ANY band bucket are
-    * candidates. Returns (doc_id, band, bucket). */
-  def lshBuckets(df: DataFrame, text: Column, docId: Column,
-                 bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
-    // stage: words → shingles → signature → band buckets, one projection
-    // each, so nothing is re-evaluated inside downstream lambdas
-    val staged = TextAnalysis.withShingles(df.select(docId.as("doc_id"), text.as("_t")),
-        col("_t"), k)
-      .withColumn("_sig", minhashSignatureFromShingles(col("_sh"), bands * rowsPerBand))
-    val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(array_join(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","), b))
-    staged.select(col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
+  /** LSH band buckets from a signature frame: each band of `rowsPerBand`
+    * signature values hashes to one bucket id. Returns (doc_id, band,
+    * bucket). */
+  def lshBucketsFromSignatures(sig: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                               hash: HashFamily = Hashing.Xx): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val joined = concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_m$i").cast("string")): _*)
+      struct(lit(b).as("band"), hash.seeded(joined, b).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate near-dup pairs from LSH: self-join WITHIN (band, bucket) only
-    * (doc_a < doc_b), de-duplicated across bands. `maxBucket` caps
-    * pathological buckets (boilerplate text) so no reducer sees a quadratic
-    * blowup — capped buckets are dropped and counted by the caller if needed. */
+  /** words → shingles → signature → band buckets (docs sharing ANY band
+    * bucket are candidates). */
+  def lshBuckets(df: DataFrame, text: Column, docId: Column,
+                 bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
+                 hash: HashFamily = Hashing.Xx): DataFrame =
+    lshBucketsFromSignatures(
+      minhashSignatures(shingleFrame(df, text, docId, k), bands * rowsPerBand, hash),
+      bands, rowsPerBand, hash)
+
+  /** Buckets grouped with their size — shared by pair generation (kept
+    * buckets) and drop accounting (capped buckets). */
+  private def groupedBuckets(b: DataFrame): DataFrame =
+    b.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .withColumn("bucket_size", size(col("docs")))
+
+  /** Pairs from capped bucket groups: generated inside the (small, capped)
+    * bucket array — no join, no quadratic reducer. */
+  private def pairsFromGrouped(grouped: DataFrame, maxBucket: Int): DataFrame =
+    grouped
+      .where(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
+      .select(explode(flatten(
+        transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))),
+            bDoc => struct(least(a, bDoc).as("doc_a"), greatest(a, bDoc).as("doc_b"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+
+  /** Buckets DROPPED by the `maxBucket` cap: (band, bucket, bucket_size).
+    * At scale this is the recall ledger — boilerplate-heavy corpora
+    * concentrate true near-dups in exactly these buckets, so the cap's cost
+    * must be observable (ADVICE r1). */
+  private def droppedFromGrouped(grouped: DataFrame, maxBucket: Int): DataFrame =
+    grouped.where(col("bucket_size") > maxBucket)
+      .select(col("band"), col("bucket"), col("bucket_size").cast("long").as("bucket_size"))
+
+  /** Candidate near-dup pairs from LSH: self-pairing WITHIN (band, bucket)
+    * only (doc_a < doc_b), de-duplicated across bands. `maxBucket` caps
+    * pathological buckets (boilerplate text) so no task sees a quadratic
+    * blowup — capped buckets are dropped; count them with
+    * `minhashBucketStats`. */
   def minhashCandidates(df: DataFrame, text: Column, docId: Column,
                         bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
-                        maxBucket: Int = 64): DataFrame = {
-    val b = lshBuckets(df, text, docId, bands, rowsPerBand, k)
-    val grouped = b.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("docs"))
-      .where(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
-    // pairs generated inside the (small, capped) bucket array — no join
-    val pairs = grouped.select(explode(flatten(
-      transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))),
-          bDoc => struct(least(a, bDoc).as("doc_a"), greatest(a, bDoc).as("doc_b"))))))
-      .as("p"))
-    pairs.select(col("p.doc_a"), col("p.doc_b")).distinct()
-  }
+                        maxBucket: Int = 64,
+                        hash: HashFamily = Hashing.Xx): DataFrame =
+    pairsFromGrouped(groupedBuckets(lshBuckets(df, text, docId, bands, rowsPerBand, k, hash)),
+      maxBucket)
 
-  /** Exact n-gram Jaccard verification of candidate pairs: joins the two
-    * shingle sets back (hash-partitioned by doc id) and computes
-    * |∩| / |∪| via array_intersect/array_union. */
-  def jaccardVerify(df: DataFrame, text: Column, docId: Column,
-                    candidates: DataFrame, k: Int = 3,
-                    threshold: Double = 0.7): DataFrame = {
-    val sh = TextAnalysis.withShingles(df.select(docId.as("doc_id"), text.as("_t")),
-        col("_t"), k)
-      .select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
+  /** The buckets `minhashCandidates` dropped under the same parameters. */
+  def minhashBucketStats(df: DataFrame, text: Column, docId: Column,
+                         bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
+                         maxBucket: Int = 64,
+                         hash: HashFamily = Hashing.Xx): DataFrame =
+    droppedFromGrouped(groupedBuckets(lshBuckets(df, text, docId, bands, rowsPerBand, k, hash)),
+      maxBucket)
+
+  /** Exact n-gram Jaccard verification of candidate pairs against a STAGED
+    * shingle frame: joins the two shingle sets back (hash-partitioned by doc
+    * id) and computes |∩| / |∪| via array_intersect/array_union. */
+  def jaccardVerifyFromShingles(shf: DataFrame, candidates: DataFrame,
+                                threshold: Double = 0.7): DataFrame = {
+    val sh = shf.select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
     val j = candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
@@ -101,12 +161,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard filter. */
+  def jaccardVerify(df: DataFrame, text: Column, docId: Column,
+                    candidates: DataFrame, k: Int = 3,
+                    threshold: Double = 0.7): DataFrame =
+    jaccardVerifyFromShingles(shingleFrame(df, text, docId, k), candidates, threshold)
+
+  /** Full MinHash near-dup pipeline: ONE shingle frame feeds both LSH
+    * candidate generation and the exact Jaccard filter. */
   def nearDuplicates(df: DataFrame, text: Column, docId: Column,
                      bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
-                     threshold: Double = 0.7): DataFrame =
-    jaccardVerify(df, text, docId,
-      minhashCandidates(df, text, docId, bands, rowsPerBand, k), k, threshold)
+                     threshold: Double = 0.7, maxBucket: Int = 64,
+                     hash: HashFamily = Hashing.Xx): DataFrame = {
+    val shf = shingleFrame(df, text, docId, k)
+    val cands = pairsFromGrouped(
+      groupedBuckets(lshBucketsFromSignatures(
+        minhashSignatures(shf, bands * rowsPerBand, hash), bands, rowsPerBand, hash)),
+      maxBucket)
+    jaccardVerifyFromShingles(shf, cands, threshold)
+  }
 
   // -- SimHash -------------------------------------------------------------
 
@@ -122,7 +194,7 @@ object Dedup {
   }
 
   /** Small-input convenience — inlines word hashes (re-evaluated per bit,
-    * ×64); at scale use `withSimhash`. */
+    * ×64); at scale use `simhashByKey`. */
   def simhash(text: Column, bits: Int = 64): Column =
     simhashFromHashes(transform(TextAnalysis.words(text), w => xxhash64(w)), bits)
 
@@ -135,15 +207,16 @@ object Dedup {
       .withColumn(out, simhashFromHashes(col("_graft_wh"), bits))
       .drop("_graft_wh")
 
-  /** Scale-path simhash: explode words → ONE codegen'd HashAggregate with 64
-    * conditional sums (map-side combined), then reassemble the bit vector —
-    * identical output to `withSimhash`, but whole-stage-codegen'd instead of
-    * 64 interpreted lambda passes over the hash array. Returns
-    * (doc_id, simhash). */
+  /** Scale-path simhash: explode words → ONE codegen'd HashAggregate with
+    * `bits` conditional sums (map-side combined), then reassemble the bit
+    * vector — identical output to `withSimhash` for the same hash, but
+    * whole-stage-codegen'd instead of `bits` interpreted lambda passes.
+    * Returns (doc_id, simhash). With `Hashing.Md5` pass bits ≤ 60 (the
+    * oracle hash is a 60-bit value). */
   def simhashByKey(df: DataFrame, text: Column, docId: Column,
-                   bits: Int = 64): DataFrame = {
+                   bits: Int = 64, hash: HashFamily = Hashing.Xx): DataFrame = {
     val words = df.select(docId.as("doc_id"), explode_outer(TextAnalysis.words(text)).as("_w"))
-    val h = xxhash64(col("_w"))
+    val h = hash.plain(col("_w"))
     val sums = (0 until bits).map { i =>
       sum(when(col("_w").isNull, lit(0L)).otherwise(
         when(call_function("shiftright", h, lit(i)).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
@@ -155,62 +228,66 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64 bits into `bands` chunks; docs
-    * sharing any chunk value are candidates (≤ hammingMax differing bits
-    * guarantees a shared band when bands > hammingMax). */
+  /** SimHash near-dup candidates: band the `bits` bits into `bands` chunks;
+    * docs sharing any chunk value are candidates (≤ hammingMax differing
+    * bits guarantees a shared band when bands > hammingMax). */
   def simhashCandidates(df: DataFrame, text: Column, docId: Column,
-                        bands: Int = 4, maxBucket: Int = 64): DataFrame = {
-    val width = 64 / bands
-    val staged = simhashByKey(df, text, docId)
+                        bands: Int = 4, maxBucket: Int = 64,
+                        bits: Int = 64, hash: HashFamily = Hashing.Xx): DataFrame = {
+    val width = bits / bands
+    val staged = simhashByKey(df, text, docId, bits, hash)
     val sh = col("simhash")
-    val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        call_function("shiftright", sh, b * lit(width)).bitwiseAND(lit((1L << width) - 1)).as("bucket")))
-    val exploded = staged.select(col("doc_id"), explode(bandBuckets).as("bb"))
+    val bandBuckets = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        call_function("shiftright", sh, lit(b * width)).bitwiseAND(lit((1L << width) - 1)).as("bucket"))
+    }
+    val exploded = staged.select(col("doc_id"), explode(array(bandBuckets: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val grouped = exploded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("docs"))
-      .where(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
-    grouped.select(explode(flatten(
-      transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))),
-          bDoc => struct(least(a, bDoc).as("doc_a"), greatest(a, bDoc).as("doc_b"))))))
-      .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    pairsFromGrouped(groupedBuckets(exploded), maxBucket)
   }
 
   // -- embedding near-dup --------------------------------------------------
 
-  /** Cosine similarity of two float-array columns (zip_with dot / norms). */
+  /** Cosine similarity of two numeric-array columns (zip_with dot / norms). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Dot product against a DRIVER-LITERAL integer vector (seeded projection
+    * matrices are pure-Scala constants — Seeded.matrix — so nothing is
+    * re-derived per row, and a SQL oracle embeds the same integers). */
+  def dotLit(vec: Column, w: Array[Int]): Column =
+    aggregate(zip_with(vec, typedlit(w.toSeq), (x, c) => x * c),
+      lit(0.0d), (acc, v) => acc + v)
+
   /** Random-hyperplane LSH bucket for an embedding: sign bits of dots with
-    * `planes` seeded pseudo-random hyperplanes (deterministic, data-free). */
+    * `planes` literal pseudo-random integer hyperplanes. */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 12, seed: Long = 42L): Column = {
+    val mat = Seeded.matrix(planes, dim, seed)
     val bits = (0 until planes).map { p =>
-      // hyperplane component j = centered hash in [-0.5, 0.5)
-      val comps = transform(sequence(lit(0), lit(dim - 1)),
-        j => (pmod(xxhash64(lit(seed), lit(p), j), lit(100000L)).cast("double") / 100000.0d) - 0.5d)
-      val d = aggregate(zip_with(vec, comps, (x, c) => x * c), lit(0.0d), (acc, v) => acc + v)
-      when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(dotLit(vec, mat(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
 
+  private def embBuckets(df: DataFrame, vec: Column, id: Column, dim: Int,
+                         planes: Int, seed: Long): DataFrame =
+    df.select(id.as("vid"), vec.as("v"),
+        hyperplaneBucket(vec, dim, planes, seed).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vid"), col("v"))).as("docs"))
+      .withColumn("bucket_size", size(col("docs")))
+
   /** Embedding near-dup pairs: bucket by hyperplane signs, pair within
-    * buckets, verify with exact cosine ≥ threshold. */
+    * buckets, verify with exact cosine ≥ threshold. Over-cap buckets are
+    * dropped — count them with `embeddingBucketStats`. */
   def embeddingNearDups(df: DataFrame, vec: Column, id: Column, dim: Int,
                         planes: Int = 12, threshold: Double = 0.95,
-                        maxBucket: Int = 256): DataFrame = {
-    val b = df.select(id.as("vid"), vec.as("v"),
-      hyperplaneBucket(vec, dim, planes).as("bucket"))
-    val grouped = b.groupBy(col("bucket"))
-      .agg(collect_list(struct(col("vid"), col("v"))).as("docs"))
-      .where(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
+                        maxBucket: Int = 256, seed: Long = 42L): DataFrame = {
+    val grouped = embBuckets(df, vec, id, dim, planes, seed)
+      .where(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
     val pairs = grouped.select(explode(flatten(
       transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
@@ -224,4 +301,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .distinct()
   }
+
+  /** Buckets `embeddingNearDups` dropped under the same parameters. */
+  def embeddingBucketStats(df: DataFrame, vec: Column, id: Column, dim: Int,
+                           planes: Int = 12, maxBucket: Int = 256,
+                           seed: Long = 42L): DataFrame =
+    embBuckets(df, vec, id, dim, planes, seed)
+      .where(col("bucket_size") > maxBucket)
+      .select(col("bucket"), col("bucket_size").cast("long").as("bucket_size"))
 }

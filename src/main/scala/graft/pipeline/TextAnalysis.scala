@@ -95,8 +95,11 @@ object TextAnalysis {
   def fingerprint(text: Column, k: Int = 3): Column =
     fingerprintFromShingles(shingles(text, k))
 
-  def fingerprintFromShingles(sh: Column): Column =
-    array_min(transform(sh, s => xxhash64(s)))
+  /** `hash` defaults to xxhash64; pass `Hashing.Md5.plain` for the
+    * SQL-reproducible oracle variant. */
+  def fingerprintFromShingles(sh: Column,
+                              hash: Column => Column = c => xxhash64(c)): Column =
+    array_min(transform(sh, s => hash(s)))
 
   /** Exact-dup content key: hash of the whitespace-normalized text. md5 so a
     * SQL oracle can reproduce it byte-for-byte. */

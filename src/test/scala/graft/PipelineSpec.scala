@@ -81,6 +81,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(!dups.keySet.exists { case (a, b) => Set(a, b).contains(7L) })
   }
 
+  test("minhash explode+agg signatures equal the legacy lambda formulation") {
+    val shf = Dedup.shingleFrame(docsDf, col("text"), col("doc_id"))
+    val fast = Dedup.minhashSignatures(shf, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    val slow = shf.select(col("doc_id"),
+        Dedup.minhashSignatureFromShingles(col("_sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(fast == slow)
+  }
+
+  test("oracle (md5) hash family: cross-engine constant + pipelines still find pairs") {
+    // pinned against DuckDB 1.0: SELECT ('0x'||substr(md5('hello'),1,15))::BIGINT
+    val h = Seq(Tuple1("hello")).toDF("s")
+      .select(graft.pipeline.Hashing.md5hash64(col("s"))).collect()(0).getLong(0)
+    assert(h == 419982666956583591L)
+    val dups = Dedup.nearDuplicates(docsDf, col("text"), col("doc_id"),
+        threshold = 0.5, hash = graft.pipeline.Hashing.Md5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 2L)) && dups.contains((1L, 8L)))
+    val sh = Dedup.simhashByKey(docsDf, col("text"), col("doc_id"),
+        bits = 60, hash = graft.pipeline.Hashing.Md5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(8L) && sh(1L) != sh(7L))
+  }
+
+  test("over-cap LSH buckets are dropped AND counted (recall ledger)") {
+    // 12 identical docs → every band bucket has 12 members > cap 8
+    val many = (1 to 12).map(i => (i.toLong, "same text repeated for the bucket cap test"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.minhashBucketStats(many, col("text"), col("doc_id"), maxBucket = 8)
+      .collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 12L))
+    val pairs = Dedup.minhashCandidates(many, col("text"), col("doc_id"), maxBucket = 8)
+    assert(pairs.count() == 0) // all buckets capped → pairs dropped, but counted above
+  }
+
   test("simhash: identical text → same hash; near text → small hamming distance") {
     val hashes = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
