@@ -6,17 +6,25 @@ import org.apache.spark.sql.functions._
 
 import graft.dataset.CrossRow
 import graft.drift.Drift
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Hashing, Seeded, Similarity, TextAnalysis}
 
 /** Query battery part 2: cross-row operators, drift, stats sketches,
-  * dedup/text/similarity pipeline ops — each with a DuckDB oracle where the
-  * semantics are ANSI-SQL-expressible (hash-based ops are rows-only). */
+  * dedup/text/similarity pipeline ops — each with a DuckDB oracle.
+  *
+  * Hash-based operators (MinHash, SimHash, fingerprint, LSH buckets) run
+  * with `Hashing.Md5` — a 60-bit md5-derived hash DuckDB computes
+  * byte-identically — and the seeded projection matrices (IVF centroids,
+  * hyperplanes) are integer literals rendered into the oracle SQL, so ALL
+  * pipeline queries have hard cross-engine oracles (round 1 had five
+  * `no_oracle` rows here). Production runs use `Hashing.Xx` (xxhash64).
+  */
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
 
   /** documents ∪ (first 50 docs re-keyed) — planted exact duplicates so the
     * dedup queries have non-empty output. */
@@ -25,6 +33,14 @@ object PipelineQueries {
     d.unionByName(d.where(col("doc_id") < 50)
       .withColumn("doc_id", col("doc_id") + 100000))
   }
+
+  /** 12 copies of each of the first 20 docs — every LSH bucket exceeds the
+    * cap, exercising the dropped-bucket recall ledger. */
+  private def docsManyDups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where(col("doc_id") < 20 && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .select(explode(sequence(lit(0), lit(11))).as("i"), col("doc_id"), col("text"))
+      .select((col("doc_id") * 100 + col("i")).as("doc_id"), col("text"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- cross-row operators ------------------------------------------------
@@ -63,18 +79,23 @@ object PipelineQueries {
     "p_exact_drop_list" -> ((s, dir) =>
       Dedup.exactDropList(docsWithDups(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_id")),
-    "p_minhash_neardups" -> ((s, dir) => // hash-based: rows-only oracle
-      Dedup.nearDuplicates(docsWithDups(s, dir), col("text"), col("doc_id"),
-        threshold = 0.9).orderBy("doc_a", "doc_b")),
-    "p_simhash" -> ((s, dir) => // hash-based: rows-only oracle
-      Dedup.simhashByKey(docsWithDups(s, dir), col("text"), col("doc_id"))
+    "p_minhash_neardups" -> ((s, dir) =>
+      Dedup.nearDuplicates(docsWithDups(s, dir).where(col("text").isNotNull),
+          col("text"), col("doc_id"), threshold = 0.9, hash = Hashing.Md5)
+        .orderBy("doc_a", "doc_b")),
+    "p_minhash_dropped_buckets" -> ((s, dir) =>
+      Dedup.minhashBucketStats(docsManyDups(s, dir), col("text"), col("doc_id"),
+          maxBucket = 8, hash = Hashing.Md5)
+        .orderBy("band", "bucket")),
+    "p_simhash" -> ((s, dir) =>
+      Dedup.simhashByKey(docsWithDups(s, dir), col("text"), col("doc_id"),
+          bits = 60, hash = Hashing.Md5)
         .orderBy("doc_id")),
-    "p_embedding_neardups" -> ((s, dir) => { // planted near-identical vector
+    "p_embedding_neardups" -> ((s, dir) => { // planted exact-copy vector
       val e = emb(s, dir)
       val planted = e.unionByName(
         e.where(col("vec_id") === 7)
-          .select((col("vec_id") + 1000000).as("vec_id"),
-            transform(col("embedding"), x => x * lit(1.0f)).as("embedding"), col("label")))
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
       Dedup.embeddingNearDups(planted, col("embedding"), col("vec_id"),
           dim = 64, threshold = 0.9999)
         .orderBy("id_a", "id_b")
@@ -98,23 +119,22 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
-    "p_fingerprint" -> ((s, dir) => // xxhash64-based: rows-only oracle
+    "p_fingerprint" -> ((s, dir) =>
       TextAnalysis.withShingles(docsWithDups(s, dir).select(col("doc_id"), col("text")),
           col("text"))
-        .select(col("doc_id"), TextAnalysis.fingerprintFromShingles(col("_sh")).as("fp"))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintFromShingles(col("_sh"), Hashing.Md5.plain).as("fp"))
         .orderBy("doc_id")),
 
     // -- similarity search --------------------------------------------------
     "p_ann_topk" -> ((s, dir) => {
-      val e = emb(s, dir).withColumn("embedding",
-        transform(col("embedding"), x => x.cast("double")))
+      val e = emb(s, dir)
       Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
           e.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
         .orderBy("query_id", "rank")
     }),
-    "p_ann_ivf_topk" -> ((s, dir) => { // seeded-hash centroids: rows-only oracle
-      val e = emb(s, dir).withColumn("embedding",
-        transform(col("embedding"), x => x.cast("double")))
+    "p_ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
       Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
           e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
           k = 5, numCentroids = 16, dim = 64, nprobe = 4)
@@ -160,6 +180,8 @@ object PipelineQueries {
     })
   )
 
+  // -- DuckDB oracle SQL ----------------------------------------------------
+
   private val normWords =
     "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), w -> len(w) > 0)"
   private val contentKeySql = s"md5(array_to_string($normWords, ' '))"
@@ -182,6 +204,53 @@ object PipelineQueries {
     s"""CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
         $cases ELSE 'und' END""" -> best
   }
+
+  /** DuckDB twin of `Hashing.Md5`. */
+  private def h64(x: String) = graft.pipeline.Hashing.Md5Sql.plain(x)
+  private def h64s(x: String, seed: String) = graft.pipeline.Hashing.Md5Sql.seeded(x, seed)
+
+  /** DuckDB twin of `TextAnalysis.shinglesFromWords` (k=3): NB
+    * `array_to_string([], ' ')` is NULL in DuckDB (Spark gives ""), hence
+    * the len=0 arm. */
+  private val shinglesSql =
+    """CASE WHEN len(words) = 0 THEN ['']
+            WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+            ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> array_to_string(words[i:i+2], ' ')) END"""
+
+  /** Shared MinHash CTE chain over a (doc_id, text) relation: words →
+    * shingles → one base hash per shingle → 32 affine-lane minima
+    * (Hashing.Mix — exact integer twins of the Spark lanes) → 8 band
+    * buckets. */
+  private def minhashCtes(rel: String): String = {
+    val sigExprs = (0 until 32)
+      .map(i => s"list_min(list_transform(hb, x -> ${Hashing.Mix.laneSql("x", i)}))")
+      .mkString(", ")
+    s"""wd AS (SELECT doc_id, $normWords AS words FROM $rel),
+        shd AS (SELECT doc_id, $shinglesSql AS sh FROM wd),
+        shb AS (SELECT doc_id, sh,
+                       list_transform(sh, s -> ${Hashing.Mix.baseSql("s")}) AS hb
+                FROM shd),
+        sig AS (SELECT doc_id, [$sigExprs] AS sig FROM shb),
+        bucketed AS (SELECT doc_id, g.b AS band,
+                  ${h64s("array_to_string(sig[4*g.b+1 : 4*g.b+4], ',')", "g.b")} AS bucket
+                FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) g),
+        bsize AS (SELECT band, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2)"""
+  }
+
+  /** Cosine exactly as `Dedup.cosine` computes it (sequential dot folds). */
+  private def cosSql(a: String, b: String) =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  private val centroidsSqlValues: String =
+    Similarity.centroids(16, 64).zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ${Seeded.sqlList(v)}::DOUBLE[])" }
+      .mkString(", ")
+
+  private val hyperplanesSqlValues: String =
+    Seeded.matrix(12, 64, 42L).zipWithIndex
+      .map { case (v, p) => s"($p, ${Seeded.sqlList(v)}::DOUBLE[])" }
+      .mkString(", ")
 
   val oracles: Map[String, String] = Map(
     "x_duplicate_keys" ->
@@ -226,6 +295,70 @@ object PipelineQueries {
           SELECT k.doc_id, k.content_key, g.keep_doc_id
           FROM keyed k JOIN groups g USING (content_key)
           WHERE k.doc_id != g.keep_doc_id ORDER BY k.doc_id""",
+    "p_minhash_neardups" ->
+      s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd WHERE text IS NOT NULL),
+          ${minhashCtes("d")},
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bucketed a
+                   JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+                   JOIN bsize s ON s.band = a.band AND s.bucket = a.bucket
+                   WHERE s.c <= 64),
+          dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM shd),
+          ver AS (SELECT doc_a, doc_b,
+                         len(list_intersect(x.sh, y.sh))::DOUBLE
+                           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+                  FROM cand
+                  JOIN dsh x ON x.doc_id = doc_a
+                  JOIN dsh y ON y.doc_id = doc_b)
+          SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+          FROM ver WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""",
+    "p_minhash_dropped_buckets" ->
+      s"""WITH d AS (SELECT doc_id * 100 + g.i AS doc_id, text
+                     FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) g
+                     WHERE documents.doc_id < 20 AND text IS NOT NULL),
+          ${minhashCtes("d")}
+          SELECT band, bucket, c::BIGINT AS bucket_size
+          FROM bsize WHERE c > 8 ORDER BY band, bucket""",
+    "p_simhash" ->
+      s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd),
+          w AS (SELECT doc_id, unnest($normWords) AS word FROM d),
+          h AS (SELECT doc_id, ${h64("word")} AS h FROM w),
+          bits AS (SELECT doc_id, g.i,
+                     CASE WHEN sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                          THEN (1::BIGINT << g.i) ELSE 0 END AS bit
+                   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) g
+                   GROUP BY doc_id, g.i),
+          s AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+          FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
+    "p_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd),
+          wd AS (SELECT doc_id, $normWords AS words FROM d),
+          shd AS (SELECT doc_id, $shinglesSql AS sh FROM wd)
+          SELECT doc_id, list_min(list_transform(sh, s -> ${h64("s")})) AS fp
+          FROM shd ORDER BY doc_id""",
+    "p_embedding_neardups" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          all_e AS (SELECT * FROM e
+                    UNION ALL
+                    SELECT vec_id + 1000000, v FROM e WHERE vec_id = 7),
+          pl(p, plane) AS (VALUES $hyperplanesSqlValues),
+          b AS (SELECT vec_id,
+                       sum(CASE WHEN list_dot_product(v, plane) > 0
+                                THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+                FROM all_e CROSS JOIN pl GROUP BY vec_id),
+          bv AS (SELECT b.vec_id, b.bucket, e2.v
+                 FROM b JOIN all_e e2 ON e2.vec_id = b.vec_id),
+          bs AS (SELECT bucket, count(*) AS c FROM bv GROUP BY 1),
+          pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                           ${cosSql("x.v", "y.v")} AS cos
+                    FROM bv x
+                    JOIN bv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                    JOIN bs ON bs.bucket = x.bucket
+                    WHERE bs.c BETWEEN 2 AND 256)
+          SELECT DISTINCT id_a, id_b, round(cos, 4) AS cos
+          FROM pairs WHERE cos >= 0.9999 ORDER BY id_a, id_b""",
     "p_token_counts" ->
       s"""SELECT doc_id, $wsTokSql AS ws_tokens, $bpeTokSql AS bpe_tokens
           FROM documents ORDER BY doc_id""",
@@ -270,6 +403,34 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rank::INT AS rank, corpus_id, round(cos, 4) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "p_ann_ivf_topk" ->
+      s"""WITH cents(cid, cv) AS (VALUES $centroidsSqlValues),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cscore AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS s
+                     FROM e CROSS JOIN cents c),
+          assign AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cid) AS rn
+                       FROM cscore) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cid) AS rn
+                       FROM cscore WHERE vec_id < 5) WHERE rn <= 4),
+          scored AS (SELECT p.query_id, a.vec_id AS corpus_id,
+                            ${cosSql("cv2.v", "qv.v")} AS cos
+                     FROM probes p
+                     JOIN assign a ON a.cid = p.cid
+                     JOIN e cv2 ON cv2.vec_id = a.vec_id
+                     JOIN e qv ON qv.vec_id = p.query_id
+                     WHERE a.vec_id != p.query_id),
+          ranked AS (SELECT query_id, corpus_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, corpus_id) AS rank
+                     FROM scored)
+          SELECT query_id, rank::INT AS rank, corpus_id, round(cos, 4) AS cos
+          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "v_json_props_violations" ->
       """WITH k AS (SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS kv,
                            json_extract(props, '$.k') IS NOT NULL AS has_k

@@ -53,22 +53,32 @@ object Dedup {
     TextAnalysis.withShingles(df.select(docId.as("doc_id"), text.as("_t")), col("_t"), k)
       .select(col("doc_id"), col("_sh"))
 
-  /** MinHash signatures from a shingle frame: explode shingles → one
-    * HashAggregate computing `numHashes` `min(hash(s, i))` columns
-    * (map-side combined, whole-stage codegen). Returns
+  /** MinHash signatures from a shingle frame: explode shingles → stage ONE
+    * base hash per shingle instance → one HashAggregate computing
+    * `numHashes` `min(lane_i(base))` columns (affine rehash lanes — see
+    * Hashing.Mix; map-side combined, whole-stage codegen). Returns
     * (doc_id, _m0.._m{numHashes-1}). */
   def minhashSignatures(shf: DataFrame, numHashes: Int = 32,
                         hash: HashFamily = Hashing.Xx): DataFrame = {
-    val ex = shf.select(col("doc_id"), explode(col("_sh")).as("_s"))
-    val aggs = (0 until numHashes).map(i => min(hash.seeded(col("_s"), i)).as(s"_m$i"))
+    // explode_OUTER on purpose: plain explode makes InferFiltersFromGenerate
+    // add a size()>0 filter that PushDownPredicates sinks below the staged
+    // shingle projection, re-inlining the O(words²) shingle lambda per row
+    // (measured 4 s of pure recompute on the sf0.1 corpus). Shingle arrays
+    // are never empty (shinglesFromWords contract), so outer ≡ inner here.
+    val ex = shf.select(col("doc_id"), explode_outer(col("_sh")).as("_s"))
+      .withColumn("_hb", Hashing.Mix.base(hash, col("_s")))
+    val aggs = (0 until numHashes).map(i =>
+      min(Hashing.Mix.lane(col("_hb"), i)).as(s"_m$i"))
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Legacy HOF signature form (kept for small inputs + the parity test:
-    * identical values to `minhashSignatures`, interpreted execution). */
-  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 32): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(sh, s => xxhash64(s, h))))
+  /** HOF signature form (small inputs + the parity test: identical values
+    * to `minhashSignatures`, interpreted execution, base hash re-evaluated
+    * per lane). */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 32,
+                                   hash: HashFamily = Hashing.Xx): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => Hashing.Mix.lane(Hashing.Mix.base(hash, s), i)))): _*)
 
   /** Small-input convenience (inlines shingles; at scale use
     * `minhashSignatures` over a staged shingle frame). */
@@ -215,8 +225,11 @@ object Dedup {
     * oracle hash is a 60-bit value). */
   def simhashByKey(df: DataFrame, text: Column, docId: Column,
                    bits: Int = 64, hash: HashFamily = Hashing.Xx): DataFrame = {
+    // word hash STAGED once — inlining it would re-evaluate the strong hash
+    // per bit (×bits); multi-referenced, so CollapseProject keeps the stage
     val words = df.select(docId.as("doc_id"), explode_outer(TextAnalysis.words(text)).as("_w"))
-    val h = hash.plain(col("_w"))
+      .withColumn("_h", hash.plain(col("_w")))
+    val h = col("_h")
     val sums = (0 until bits).map { i =>
       sum(when(col("_w").isNull, lit(0L)).otherwise(
         when(call_function("shiftright", h, lit(i)).bitwiseAND(1) === 1, 1L).otherwise(-1L)))

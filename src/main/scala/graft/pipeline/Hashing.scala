@@ -41,6 +41,26 @@ object Hashing {
     def plain(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
     def seeded(x: String, seed: String): String = plain(s"concat($seed, '|', $x)")
   }
+
+  /** Affine rehash family for MinHash lanes: ONE strong base hash per value,
+    * then lane i = (base mod P) · a_i + b_i mod P (P = 2³¹−1, a_i odd,
+    * splitmix-seeded). 32 lanes cost one md5/xxhash + 32 multiply-adds
+    * instead of 32 strong hashes (Broder-style rehashing; measured 32×
+    * fewer md5 calls on the signature stage). All arithmetic stays under
+    * 2⁵⁰ so ANSI-mode long multiplication never overflows, and the same
+    * formula is exact integer math in DuckDB. */
+  object Mix {
+    val P = 2147483647L
+    def a(i: Int): Long = (math.abs(Seeded.component(101L, i, 0)).toLong % 99991L) * 2 + 1
+    def b(i: Int): Long = math.abs(Seeded.component(103L, i, 1)).toLong
+    /** Base lane input: strong hash folded into [0, P). */
+    def base(h: HashFamily, c: Column): Column = pmod(h.plain(c), lit(P))
+    /** Lane i from a staged base column. */
+    def lane(base: Column, i: Int): Column = pmod(base * lit(a(i)) + lit(b(i)), lit(P))
+    /** DuckDB twins (operands must already be non-negative). */
+    def baseSql(x: String): String = s"(${Md5Sql.plain(x)} % $P)"
+    def laneSql(base: String, i: Int): String = s"(($base) * ${a(i)} + ${b(i)}) % $P"
+  }
 }
 
 /** Deterministic pseudo-random projection matrices (IVF centroids, LSH

@@ -56,11 +56,18 @@ object Validator {
 
   /** Dynamic-JSON mode: validate a JSON-string column against a spec with
     * per-row runtime type dispatch (VariantCompiler) — the exact analog of
-    * the reference's `validator.validate(JSON.parse(s))`. */
+    * the reference's `validator.validate(JSON.parse(s))`. The parse and
+    * every variant derivation (type string, extractions, child values) are
+    * STAGED as projection columns computed once per row, shared by all
+    * checks (compileStaged — the r1→r2 CodegenFallback fix). */
   def validateJson(df: DataFrame, spec: Spec, jsonColumn: String,
                    docId: String = "doc_id", part: Option[String] = Some("part")): Validation = {
-    val parsed = df.withColumn("_variant", parse_json(col(jsonColumn)))
-    run(parsed, graft.compile.VariantCompiler.compile(spec, col("_variant")), docId, part)
+    val (staged, checks) =
+      graft.compile.VariantCompiler.compileStaged(spec, col("_variant"))
+    val parsed = staged.foldLeft(df.withColumn("_variant", parse_json(col(jsonColumn)))) {
+      case (acc, (name, expr)) => acc.withColumn(name, expr)
+    }
+    run(parsed, checks, docId, part)
   }
 
   def run(df: DataFrame, checks: Vector[CompiledCheck], docId: String,
@@ -123,10 +130,17 @@ object Validator {
         c.observed.as("observed"),
         lit(c.message).as("message")))
     }
+    // explode_outer + post-filter, NOT a size()>0 pre-filter or plain
+    // explode: both of those put a Filter BELOW the Generate
+    // (InferFiltersFromGenerate adds one for plain explode), and
+    // PushDownPredicates then pushes it under the staged variant
+    // projections, re-inlining every staged derivation per row (measured
+    // 7.3 s vs 1.5 s on 100k variant rows). The null-row filter above the
+    // Generate cannot sink below it.
     val vioArr = filter(array(entries: _*), e => e.isNotNull)
     df.select(partCol.as("part"), docId.as("doc_id"), vioArr.as("_v"))
-      .where(size(col("_v")) > 0)
-      .select(col("part"), col("doc_id"), explode(col("_v")).as("v"))
+      .select(col("part"), col("doc_id"), explode_outer(col("_v")).as("v"))
+      .where(col("v").isNotNull)
       .select(col("part"), col("doc_id"), col("v.rank").as("rank"),
               col("v.constraint_id").as("constraint_id"), col("v.path").as("path"),
               col("v.observed").as("observed"), col("v.message").as("message"))

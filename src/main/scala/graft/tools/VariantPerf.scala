@@ -23,12 +23,22 @@ object VariantPerf {
       ev.select(try_variant_get(parse_json(col("props")), "$.k", "double").as("k"))
         .agg(sum("k")).collect()
     }
+    val spec = graft.spec.SpecParser.parse(
+      """{"type":"object","required":["k"],
+         "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
     time("full validateJson verdicts") {
-      val spec = graft.spec.SpecParser.parse(
-        """{"type":"object","required":["k"],
-           "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
       graft.run.Validator.validateJson(ev, spec, "props", "event_id", None)
         .verdicts.agg(sum("violations")).collect()
+    }
+    time("full validateJson violations") {
+      graft.run.Validator.validateJson(ev, spec, "props", "event_id", None)
+        .violations.count()
+    }
+    time("violations ordered (driver query shape)") {
+      graft.run.Validator.validateJson(ev, spec, "props", "event_id", None)
+        .violations.drop("rank").drop("part")
+        .orderBy("doc_id", "constraint_id")
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
