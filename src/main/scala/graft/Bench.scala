@@ -6,12 +6,22 @@ import org.apache.spark.sql.functions._
 /** Round benchmark (driver contract): one JSON line with per-query seconds
   * plus the headline metric — validated sequences/sec for the full
   * constraint suite (row checks + dedup + referential + drift) over the
-  * deterministic generated sequence table (BASELINE.json `metric`). */
+  * deterministic generated sequence table (BASELINE.json `metric`).
+  *
+  * Protocol (unified with BENCH_SCALING.md in r2 — VERDICT r1 #6): the
+  * suite number is the MINIMUM of `reps` interleaved runs (this VM's wall
+  * times jitter up to 7× between identical reps; interleaved min-of-reps is
+  * unbiased under external slowdowns), and the SAME session protocol
+  * produces the two-parallelism scaling pair (1 vs 4 physical cores on
+  * identical input bytes — the local stand-in for N vs 4N executors, see
+  * BENCH_SCALING.md for why the SMT pair 8↔32 measures the box, not the
+  * plans) in the same JSON.
+  */
 object Bench {
 
   /** Materialize the deterministic sequence table once (hive-partitioned by
     * `part`, like the Iceberg layout it stands in for); generation cost is
-    * excluded from the measured validation job, and both scaling runs read
+    * excluded from the measured validation job, and every measured run reads
     * the IDENTICAL bytes. */
   def ensureParquet(spark: SparkSession, rows: Long, numParts: Int = 16): String = {
     val dir = s"/tmp/graft_bench/seq_${rows}_$numParts"
@@ -33,36 +43,63 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
+    val spark = graft.tools.ScalingBench.session(cpus)
+    try f(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
-    val spark = graft.tools.ScalingBench.session(cpus.toInt)
+    val scalingRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "4000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val nCores = 1 // physical-core pair: 1 vs 4 (see BENCH_SCALING.md)
 
-    // JVM/codegen warmup on a small run so measured numbers are steady-state
-    runSuite(spark, 50000L)
-
+    // one warm session: generate inputs if absent + JIT/codegen warmup,
+    // then time the driver-query battery once each
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      System.err.println(s"[bench] running $name")
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      results(name) = (System.nanoTime() - t0) / 1e9
+    withSession(cpus) { spark =>
+      ensureParquet(spark, benchRows)
+      ensureParquet(spark, scalingRows)
+      runSuite(spark, 50000L)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        System.err.println(s"[bench] running $name")
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        results(name) = (System.nanoTime() - t0) / 1e9
+      }
     }
 
-    // min of 2 reps: wall times on this shared VM vary up to 7× between
-    // identical runs (BENCH_SCALING.md), min is unbiased under slowdowns
-    val (s1, n) = runSuite(spark, benchRows)
-    val (s2, _) = runSuite(spark, benchRows)
-    val suiteSec = math.min(s1, s2)
-    results(s"suite_validate_${n}rows") = suiteSec
-    val seqPerSec = n / suiteSec
+    // interleaved suite reps: headline level then the scaling pair, fresh
+    // session per run, identical bytes per rows-count
+    val levels = Seq(cpus -> benchRows, nCores -> scalingRows, (4 * nCores) -> scalingRows)
+    val times = scala.collection.mutable.Map[(Int, Long), Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { r =>
+      levels.foreach { case (lv, rows) =>
+        System.err.println(s"[bench] suite rep $r at local[$lv] × $rows rows")
+        val t = withSession(lv)(s => runSuite(s, rows)._1)
+        times((lv, rows)) = times((lv, rows)) :+ t
+      }
+    }
+
+    val suiteSec = times((cpus, benchRows)).min
+    results(s"suite_validate_${benchRows}rows") = suiteSec
+    val seqPerSec = benchRows / suiteSec
+    val secN = times((nCores, scalingRows)).min
+    val sec4N = times((4 * nCores, scalingRows)).min
+    val eff = (scalingRows / sec4N) / (4 * (scalingRows / secN))
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$n,"cpus":$cpus}""")
-    spark.stop()
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$benchRows,"cpus":$cpus,"reps":$reps,"scaling":{"rows":$scalingRows,"n_cores":$nCores,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"tput_n":${scalingRows / secN}%.0f,"tput_4n":${scalingRows / sec4N}%.0f,"efficiency":$eff%.3f}}""")
   }
 }
