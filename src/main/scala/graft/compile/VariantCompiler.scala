@@ -58,7 +58,10 @@ object VariantCompiler {
     lazy val asArr: Column = memo("arr", try_variant_get(v, "$", "array<variant>"))
     lazy val asMap: Column = memo("map", try_variant_get(v, "$", "map<string,variant>"))
     lazy val keys: Column = memo("keys", map_keys(asMap))
-    lazy val json: Column = memo("json", to_json(v))
+    // json is NOT staged on purpose: it only feeds `observed` fields, which
+    // sit inside when(!pass, …) branches evaluated for VIOLATING rows only —
+    // staging it would force a to_json of every row on every scan
+    lazy val json: Column = to_json(v)
 
     def isObj: Column = v.isNotNull && tpe.startsWith("OBJECT")
     def isArr: Column = v.isNotNull && tpe.startsWith("ARRAY")

@@ -62,4 +62,29 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, "row verdicts should scan once:\n" + p)
     assert("Exchange".r.findAllIn(p).size <= 2, "at most verdict agg + sort exchanges:\n" + p)
   }
+
+  test("variant violations keep derivations staged — no pushed-down recompute") {
+    // regression gate for the r2 fix: a Filter sunk below the staged
+    // projections re-inlines schema_of_variant/variant_get per CHECK
+    // (NOTES_r2.md). For this 2-node spec, exactly 2 type derivations and
+    // 1 parse must survive in the physical plan — duplication means a rule
+    // (InferFiltersFromGenerate + PushDownPredicates) re-inlined them.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val spec = SpecParser.parse(
+      """{"type":"object","required":["k"],
+         "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
+    val p = planOf(Validator.validateJson(ev, spec, "props", "event_id", None).violations)
+    assert("SchemaOfVariant".r.findAllIn(p).size <= 2, "type derivation duplicated:\n" + p)
+    assert("parseJson".r.findAllIn(p).size <= 1, "parse_json duplicated:\n" + p)
+  }
+
+  test("minhash signature stage computes shingles once — no inferred-filter recompute") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shf = graft.pipeline.Dedup.shingleFrame(df, col("text"), col("doc_id"))
+    val p = planOf(graft.pipeline.Dedup.minhashSignatures(shf, 8))
+    // shingle construction (array_join over word slices) must appear in ONE
+    // projection only; a second occurrence means a filter was pushed below
+    // the staging and re-derives the O(words²) lambda per row
+    assert("array_join".r.findAllIn(p).size <= 2, "shingles recomputed:\n" + p)
+  }
 }
