@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.Multimodal
+import graft.spec.SpecParser
+
+/** Driver-oracle coverage for the two engine extensions that had only sbt
+  * evidence in round 1: Structured Streaming validation and the multimodal
+  * binary-column plumbing.
+  *
+  * - `s_stream_verdicts` runs REAL Structured Streaming (file source →
+  *   watermarked windowed verdict aggregation → memory sink, AvailableNow
+  *   trigger) over the events table; the oracle recomputes every
+  *   (hour-window × constraint) verdict with plain SQL aggregation.
+  * - `p_multimodal_meta` drives the full binary pipeline (deterministic
+  *   GRF0 container encode → opaque binary column → batched mapPartitions
+  *   decode); the oracle predicts the decoded metadata from the generator
+  *   contract (Objects.hash(42L, id) = 2263 + id for id < 2³¹) without
+  *   ever touching bytes — a disagreement anywhere in the encode/decode
+  *   plumbing breaks the hash compare.
+  */
+object ExtQueries {
+
+  /** Streaming spec: enum excludes 'error', maximum 400 < max(value) so
+    * both violation kinds occur in most windows. */
+  private val StreamSpecJson =
+    """{"type":"object","required":["event_id"],
+       "properties":{
+         "event_type":{"type":"string","enum":["click","view","purchase","signup"]},
+         "value":{"type":"number","minimum":0,"maximum":400}}}"""
+
+  private def streamVerdicts(s: SparkSession, dir: String): DataFrame = {
+    // the file streaming source lists a DIRECTORY; the testdata table is a
+    // single parquet file, so stage it into one (bytes unchanged)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(stageDir)
+    val staged = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged))
+      java.nio.file.Files.copy(src, staged)
+    val path = staged.getParent.toString
+    val schema = s.read.parquet(path).schema
+    // parquet timestamps are NTZ; watermarks need TIMESTAMP — the cast
+    // reinterprets the wall clock in the (UTC) session zone, which is also
+    // what the oracle's date_trunc sees
+    val stream = s.readStream.schema(schema).parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.streaming.StreamValidator.verdictStream(stream,
+        SpecParser.parse(StreamSpecJson), "ts", "1 hour", "10 minutes", part = None)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("constraint_id"), col("total"), col("violations"), col("pass"))
+    val sink = s"graft_stream_sink_${math.abs(path.hashCode)}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy("w_start", "constraint_id")
+  }
+
+  private val streamOracle =
+    """WITH w AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+                         event_id, event_type, value
+                  FROM events),
+       tot AS (SELECT w_start, count(*) AS total FROM w GROUP BY 1),
+       vio AS (
+         SELECT w_start, './required:event_id' AS cid,
+                count(*) FILTER (WHERE event_id IS NULL) AS v FROM w GROUP BY 1
+         UNION ALL
+         SELECT w_start, '.event_type/enum',
+                count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+                                 NOT IN ('click','view','purchase','signup'))
+         FROM w GROUP BY 1
+         UNION ALL
+         SELECT w_start, '.value/minimum',
+                count(*) FILTER (WHERE value IS NOT NULL AND value < 0) FROM w GROUP BY 1
+         UNION ALL
+         SELECT w_start, '.value/maximum',
+                count(*) FILTER (WHERE value IS NOT NULL AND value > 400) FROM w GROUP BY 1)
+       SELECT t.w_start, v.cid AS constraint_id, t.total,
+              v.v AS violations, v.v = 0 AS pass
+       FROM tot t JOIN vio v USING (w_start)
+       ORDER BY w_start, constraint_id"""
+
+  private val MediaRows = 5000L
+
+  private val multimodalOracle =
+    s"""SELECT id AS doc_id,
+              CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+              (64 + (2263 + id) % 1024)::INT AS width,
+              (64 + ((2263 + id) // 7) % 1024)::INT AS height,
+              (CASE WHEN id % 3 = 2 THEN 1 + ((2263 + id) // 11) % 32 ELSE 1 END)::INT AS n_frames,
+              (80 + (2263 + id) % 192)::BIGINT AS n_bytes
+       FROM range($MediaRows) t(id) ORDER BY doc_id"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_stream_verdicts" -> (streamVerdicts _),
+    "p_multimodal_meta" -> ((s, _) =>
+      Multimodal.decodeMeta(Multimodal.syntheticMedia(s, MediaRows)).toDF()
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "s_stream_verdicts" -> streamOracle,
+    "p_multimodal_meta" -> multimodalOracle)
+}
