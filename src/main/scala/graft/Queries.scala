@@ -41,12 +41,12 @@ object Queries {
     "v_documents_verdicts" -> (documentVerdicts _),
     "v_documents_violations" -> (documentViolations _),
     "q1_agg" -> (q1Agg _)
-  ) ++ PipelineQueries.all ++ KeywordQueries.all ++ SuiteQueries.all ++ ExtQueries.all
+  ) ++ PipelineQueries.all ++ KeywordQueries.all ++ SuiteQueries.all ++ ExtQueries.all ++ TypedKeywordQueries.all
 
   /** DuckDB twins. The verdict oracle enumerates each compiled constraint in
     * id order with its violation predicate — an independent re-derivation of
     * the spec semantics, not a port of the Spark plan. */
-  val oracles: Map[String, String] = PipelineQueries.oracles ++ KeywordQueries.oracles ++ SuiteQueries.oracles ++ ExtQueries.oracles ++ Map(
+  val oracles: Map[String, String] = PipelineQueries.oracles ++ KeywordQueries.oracles ++ SuiteQueries.oracles ++ ExtQueries.oracles ++ TypedKeywordQueries.oracles ++ Map(
     "v_documents_verdicts" ->
       """WITH d AS (SELECT * FROM documents),
          c(constraint_id, violations) AS (
