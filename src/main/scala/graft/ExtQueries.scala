@@ -55,6 +55,7 @@ object ExtQueries {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("constraint_id"), col("total"), col("violations"), col("pass"))
     val sink = s"graft_stream_sink_${math.abs(path.hashCode)}"
+    s.catalog.dropTempView(sink) // re-runnable within one session
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())

@@ -36,10 +36,15 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_doc_id"))
       .where(col("cnt") > 1)
 
-  /** Rows to DROP under exact dedup (everything but the representative). */
+  /** Rows to DROP under exact dedup (everything but the representative).
+    * Groups derive from the SAME keyed frame (one normalization+md5 pass
+    * definition; the join-back of the tiny dup-group set is AQE-broadcast). */
   def exactDropList(df: DataFrame, text: Column, docId: Column): DataFrame = {
     val keyed = df.select(TextAnalysis.contentKey(text).as("content_key"), docId.as("doc_id"))
-    keyed.join(exactGroups(df, text, docId), Seq("content_key"))
+    val groups = keyed.groupBy(col("content_key"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_doc_id"))
+      .where(col("cnt") > 1)
+    keyed.join(groups, Seq("content_key"))
       .where(col("doc_id") =!= col("keep_doc_id"))
       .select(col("doc_id"), col("content_key"), col("keep_doc_id"))
   }
