@@ -47,7 +47,10 @@ object KeywordQueries {
         events(s, dir).select(col("event_id"), jsonFor(fixtures).as("json")),
         SpecParser.parse(spec), "json", docId = "event_id", part = None)
       .violations.drop("rank").drop("part")
-      .orderBy("doc_id", "constraint_id")
+      // repartition(1)+local sort, NOT orderBy: a global sort's range
+      // sampling executes the whole validation plan twice; the violation
+      // set is small, so one exchange + single-task sort halves the query
+      .repartition(1).sortWithinPartitions("doc_id", "constraint_id")
 
   /** One UNION ALL arm of an oracle: all rows of residue class `m` violate
     * `cid` at `path` with the given observed/message literals. */

@@ -149,7 +149,7 @@ object PipelineQueries {
            "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
       graft.run.Validator.validateJson(ev, spec, "props", docId = "event_id", part = None)
         .violations.drop("rank").drop("part")
-        .orderBy("doc_id", "constraint_id")
+        .repartition(1).sortWithinPartitions("doc_id", "constraint_id")
     }),
 
     // -- relational coverage (window / sort-limit / set ops) ----------------

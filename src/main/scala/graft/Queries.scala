@@ -25,7 +25,7 @@ object Queries {
     Validator.validate(docs(s, dir), SpecParser.parse(SparkEntry.DocSpecJson),
         docId = "doc_id", part = None)
       .violations.drop("rank").drop("part")
-      .orderBy("constraint_id", "doc_id")
+      .repartition(1).sortWithinPartitions("constraint_id", "doc_id")
 
   /** Classic aggregation sanity query (map-side partial agg + tiny shuffle). */
   def q1Agg(s: SparkSession, dir: String): DataFrame =

@@ -81,7 +81,7 @@ object SuiteQueries {
     "suite_e2e_verdicts" -> ((s, dir) =>
       graft.run.Suite.validateSequences(seqFromEvents(s, dir),
           graft.data.SequenceGen.dimSources(s))
-        .verdicts.drop("rank").orderBy("part", "constraint_id")))
+        .verdicts.drop("rank").repartition(1).sortWithinPartitions("part", "constraint_id")))
 
   // -- oracle ----------------------------------------------------------------
 

@@ -27,7 +27,7 @@ object TypedKeywordQueries {
   private def run(df: DataFrame, spec: String): DataFrame =
     Validator.validate(df, SpecParser.parse(spec), docId = "event_id", part = None)
       .violations.drop("rank").drop("part")
-      .orderBy("doc_id", "constraint_id")
+      .repartition(1).sortWithinPartitions("doc_id", "constraint_id")
 
   private def arm(mv: Int, cid: String, path: String, observed: String,
                   message: String): String = {

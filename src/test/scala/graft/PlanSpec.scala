@@ -63,6 +63,40 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, "at most verdict agg + sort exchanges:\n" + p)
   }
 
+  test("resume filter prunes completed partitions at the file listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    spark.range(100)
+      .selectExpr("id", "concat('p', id % 4) AS part")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/data")
+    val store = graft.stats.MetricsStore(s"$dir/metrics")
+    store.append(
+      spark.sql("SELECT 'p0' AS part, 25L AS total"), "spechash", 1L)
+    val remaining = store.remaining(spark.read.parquet(s"$dir/data"), "spechash")
+    val p = planOf(remaining)
+    // the (null-safe, cast-wrapped) isin must still reach PartitionFilters —
+    // completed partitions are then never read
+    assert(p.contains("PartitionFilters: [") &&
+      !p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      "resume filter did not reach partition pruning:\n" + p)
+    assert(remaining.select(countDistinct(col("part"))).collect()(0).getLong(0) == 3)
+    assert(remaining.count() == 75)
+  }
+
+  test("IVF bucketed layout: probes prune non-probed centroid partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).collect()(0).getInt(0)
+    graft.pipeline.Similarity.ivfAssign(emb, col("embedding"), 8, dim)
+      .write.mode("overwrite").partitionBy("centroid").parquet(dir)
+    val probed = spark.read.parquet(dir).where(col("centroid").isin(1, 3))
+    val p = planOf(probed)
+    assert(p.contains("PartitionFilters: [") && p.contains("centroid"),
+      "centroid probe filter did not prune partitions:\n" + p)
+    // only the probed buckets' rows are read
+    val total = spark.read.parquet(dir).count()
+    assert(probed.count() < total)
+  }
+
   test("variant violations keep derivations staged — no pushed-down recompute") {
     // regression gate for the r2 fix: a Filter sunk below the staged
     // projections re-inlines schema_of_variant/variant_get per CHECK
