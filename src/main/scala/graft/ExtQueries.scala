@@ -40,8 +40,11 @@ object ExtQueries {
       s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
     java.nio.file.Files.createDirectories(stageDir)
     val staged = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(staged))
-      java.nio.file.Files.copy(src, staged)
+    if (!java.nio.file.Files.exists(staged) ||
+        java.nio.file.Files.size(staged) != java.nio.file.Files.size(src)) {
+      java.nio.file.Files.copy(src, staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val path = staged.getParent.toString
     val schema = s.read.parquet(path).schema
     // parquet timestamps are NTZ; watermarks need TIMESTAMP — the cast

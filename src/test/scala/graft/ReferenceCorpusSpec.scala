@@ -33,6 +33,21 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("all 36 fixtures STAGED-compile and execute end-to-end (variant mode)") {
+    import spark.implicits._
+    // a few value shapes so every staged derivation path is exercised
+    val rows = Seq((1L, """{"a":1,"b":"x","c":[1,2],"d":{"e":true}}"""),
+                   (2L, """[1,"two",null]"""), (3L, """"str""""),
+                   (4L, """42"""), (5L, """null""")).toDF("doc_id", "json")
+    val files = fixtureDir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    files.foreach { f =>
+      val spec = SpecParser.parseFile(f.getPath)
+      val v = Validator.validateJson(rows, spec, "json", "doc_id", None)
+      v.verdicts.collect() // staged plan must build AND run for every fixture
+      v.violations.collect()
+    }
+  }
+
   /** The two compilers are independent implementations of the same
     * semantics; on data expressible in both modes they must agree. */
   test("typed-column and variant compilers agree on verdicts (property)") {
