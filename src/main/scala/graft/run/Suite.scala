@@ -7,7 +7,7 @@ import graft.data.SequenceGen
 import graft.dataset.CrossRow
 import graft.drift.Drift
 import graft.spec.{Spec, SpecJson, SpecParser}
-import graft.stats.{Metrics, MetricsStore}
+import graft.stats.{Metrics, ValidationStateStore}
 
 /** The full north-star validation job over a tokenized-sequence table:
   * row-level spec checks (+ n_tok==size(tokens) consistency in the same
@@ -70,7 +70,7 @@ object Suite {
     * them). `sink` is the caller's terminal action (write verdicts +
     * violations somewhere durable); the default forces full evaluation of
     * both frames. */
-  def resumableRun(df: DataFrame, dim: DataFrame, store: MetricsStore,
+  def resumableRun(df: DataFrame, dim: DataFrame, store: ValidationStateStore,
                    spec: Spec = SpecParser.parse(SequenceGen.SeqSpecJson),
                    cfg: Config = Config(),
                    runEpoch: Long = System.currentTimeMillis(),

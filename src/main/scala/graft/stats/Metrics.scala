@@ -50,14 +50,40 @@ object Metrics {
       }
 }
 
-/** Hive-partitioned-parquet metrics store. The Iceberg metrics table is a
-  * drop-in behind the same interface (no Iceberg jars in this sandbox —
-  * SURVEY.md §7.3). */
-final case class MetricsStore(dir: String) {
-
+/** Storage boundary for checkpointed validation state, keyed by
+  * (part, spec_hash, run_epoch). The north star names an ICEBERG metrics
+  * table; this sandbox has no Iceberg jars, so `MetricsStore` (parquet) is
+  * the documented stand-in — an Iceberg-backed implementation is a drop-in
+  * behind this trait (append → table append under the same keys,
+  * completedParts → a metadata/partitions query instead of a scan). */
+trait ValidationStateStore {
   /** Append a finished run's per-partition stats under its spec lineage.
     * Call AFTER the validation results are materialized — `Suite
     * .resumableRun` owns that ordering. */
+  def append(metrics: DataFrame, specHash: String, runEpoch: Long): Unit
+
+  def read(spark: SparkSession): DataFrame
+
+  /** Partitions already validated under this spec lineage (any epoch —
+    * retries are idempotent because verdicts are deterministic re-runs). */
+  def completedParts(spark: SparkSession, specHash: String): Seq[String]
+
+  /** Resume filter: only not-yet-validated partitions. The `isin` over the
+    * (small) completed list is a static predicate → partition pruning at the
+    * file listing (PlanSpec gates this), so completed partitions are never
+    * read. Null-safe: rows with a null partition value are never silently
+    * dropped (a null `isin` would otherwise filter them out once any
+    * partition completed). */
+  def remaining(df: DataFrame, specHash: String, part: String = "part"): DataFrame = {
+    val done = completedParts(df.sparkSession, specHash)
+    if (done.isEmpty) df
+    else df.where(coalesce(!col(part).cast("string").isin(done: _*), lit(true)))
+  }
+}
+
+/** Hive-partitioned-parquet state store (the sandbox's Iceberg stand-in). */
+final case class MetricsStore(dir: String) extends ValidationStateStore {
+
   def append(metrics: DataFrame, specHash: String, runEpoch: Long): Unit =
     metrics
       .withColumn("spec_hash", lit(specHash))
@@ -66,9 +92,7 @@ final case class MetricsStore(dir: String) {
 
   def read(spark: SparkSession): DataFrame = spark.read.parquet(dir)
 
-  /** Partitions already validated under this spec lineage (any epoch —
-    * retries are idempotent because verdicts are deterministic re-runs).
-    * Store existence goes through the Hadoop FileSystem API so hdfs:// and
+  /** Store existence goes through the Hadoop FileSystem API so hdfs:// and
     * s3:// store URIs behave like local paths. */
   def completedParts(spark: SparkSession, specHash: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -78,16 +102,5 @@ final case class MetricsStore(dir: String) {
       .where(col("spec_hash") === specHash)
       .select(col("part").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.filter(_ != null)
-  }
-
-  /** Resume filter: only not-yet-validated partitions. The `isin` over the
-    * (small) completed list is a static predicate → partition pruning at the
-    * file listing, so completed partitions are never read. Null-safe: rows
-    * with a null partition value are never silently dropped (a null `isin`
-    * would otherwise filter them out once any partition completed). */
-  def remaining(df: DataFrame, specHash: String, part: String = "part"): DataFrame = {
-    val done = completedParts(df.sparkSession, specHash)
-    if (done.isEmpty) df
-    else df.where(coalesce(!col(part).cast("string").isin(done: _*), lit(true)))
   }
 }
