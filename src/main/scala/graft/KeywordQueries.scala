@@ -146,9 +146,11 @@ object KeywordQueries {
     """{"tup":[1,"x","extra"]}""",                // 6: items:false tuple close
     """{"cs":[1,2]}""",                           // 7: minContains
     """{"cs":["a","b","c"]}""",                   // 8: maxContains
-    """{"bc":[true]}""")                          // 9: bare contains
+    """{"bc":[true]}""",                          // 9: bare contains
+    """{"xs":5}""")                               // 10: type:array gate
 
-  private val arrayOracle = oracle(10, Seq(
+  private val arrayOracle = oracle(11, Seq(
+    (10, ".xs/type:array", ".xs", "5", Messages.notArray),
     (1, ".xs/minItems", ".xs", "0", Messages.minItems(1)),
     (2, ".xs/maxItems", ".xs", "5", Messages.maxItems(4)),
     (3, ".xs/uniqueItems", ".xs", "[1,1]", Messages.uniqueItems),
@@ -179,9 +181,13 @@ object KeywordQueries {
     """{"s":"ABC"}""",                            // 6: pattern
     """{"u":"nope"}""",                           // 7: format
     """{"c":"other"}""",                          // 8: const
-    """{"e":2}""")                                // 9: enum
+    """{"e":2}""",                                // 9: enum
+    """{"s":7}""",                                // 10: type:string gate
+    """{"n":"x"}""")                              // 11: type:number gate
 
-  private val numstrOracle = oracle(10, Seq(
+  private val numstrOracle = oracle(12, Seq(
+    (10, ".s/type:string", ".s", "7", Messages.notString),
+    (11, ".n/type:number", ".n", "\"x\"", Messages.notNumber),
     (1, ".n/exclusiveMinimum", ".n", "0.0", Messages.exclusiveMinimum(0)),
     (2, ".n/exclusiveMaximum", ".n", "150.0", Messages.exclusiveMaximum(100)),
     (3, ".n/multipleOf", ".n", "0.3", Messages.multipleOf(BigDecimal("0.5"))),
@@ -201,7 +207,8 @@ object KeywordQueries {
         "oo":{"oneOf":[{"type":"integer","multipleOf":5},{"type":"integer","multipleOf":3}]},
         "no":{"not":[{"type":"string"}]},
         "nl":{"type":"null"},
-        "bl":{"type":"boolean"}}}"""
+        "bl":{"type":"boolean"},
+        "ce":{"enum":[[1,2],[3,4]]}}}"""
 
   private val genericFixtures = Seq(
     """{"any":5,"ao":15,"bl":true,"nl":null,"no":7,"oo":10}""", // 0: pass
@@ -211,9 +218,14 @@ object KeywordQueries {
     """{"oo":7}""",                               // 4: oneOf (none match)
     """{"no":"str"}""",                           // 5: not
     """{"nl":5}""",                               // 6: type:null
-    """{"bl":"x"}""")                             // 7: type:boolean
+    """{"bl":"x"}""",                             // 7: type:boolean
+    """5""",                                      // 8: root type:object gate
+    """{"ce":[1,2]}""",                           // 9: complex enum pass
+    """{"ce":[9]}""")                             // 10: complex enum fail
 
-  private val genericOracle = oracle(8, Seq(
+  private val genericOracle = oracle(11, Seq(
+    (8, "./type:object", ".", "5", Messages.notObject),
+    (10, ".ce/enum", ".ce", "[9]", Messages.enumMismatch),
     (1, ".ao/allOf", ".ao", "25", Messages.allOf),
     (2, ".any/anyOf", ".any", "true", Messages.anyOf),
     (3, ".oo/oneOf", ".oo", "15", Messages.oneOf),
