@@ -1,0 +1,23 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions — install via
+  * `.config("spark.sql.extensions", "graft.ext.GraftExtensions")` (the
+  * supported public injection point; every graft session builder sets it).
+  * After installation the expressions resolve like built-ins:
+  * `call_function("graft_dot", a, b)` or SQL `graft_dot(a, b)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -266,19 +266,33 @@ object Dedup {
 
   // -- embedding near-dup --------------------------------------------------
 
-  /** Cosine similarity of two numeric-array columns (zip_with dot / norms). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Dot product: the native codegen'd `graft_dot` expression when the
+    * active session has GraftExtensions installed (every graft entry point
+    * does — the HOF `aggregate(zip_with(...))` form is CodegenFallback and
+    * leaves whole-stage codegen on the ANN hot loop), else the composable
+    * fold. Both compute in ascending-index left-fold order over doubles —
+    * bit-identical results, which the DuckDB oracles rely on. */
+  private[graft] def dot(x: Column, y: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists("graft_dot") catch { case _: Throwable => false }
+    }
+    if (native)
+      call_function("graft_dot", x.cast("array<double>"), y.cast("array<double>"))
+    else
+      aggregate(zip_with(x.cast("array<double>"), y.cast("array<double>"),
+        (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
   }
+
+  /** Cosine similarity of two numeric-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Dot product against a DRIVER-LITERAL integer vector (seeded projection
     * matrices are pure-Scala constants — Seeded.matrix — so nothing is
-    * re-derived per row, and a SQL oracle embeds the same integers). */
+    * re-derived per row, and a SQL oracle embeds the same integers; int →
+    * double conversion is exact). */
   def dotLit(vec: Column, w: Array[Int]): Column =
-    aggregate(zip_with(vec, typedlit(w.toSeq), (x, c) => x * c),
-      lit(0.0d), (acc, v) => acc + v)
+    dot(vec, typedlit(w.map(_.toDouble).toSeq))
 
   /** Random-hyperplane LSH bucket for an embedding: sign bits of dots with
     * `planes` literal pseudo-random integer hyperplanes. */

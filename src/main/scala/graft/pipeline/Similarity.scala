@@ -53,8 +53,7 @@ object Similarity {
   }
 
   private def withNorm(df: DataFrame, vec: Column): DataFrame =
-    df.withColumn("_graft_nv",
-      sqrt(aggregate(transform(vec, x => x * x), lit(0.0d), (acc, v) => acc + v)))
+    df.withColumn("_graft_nv", sqrt(Dedup.dot(vec, vec)))
 
   /** IVF assignment: nearest centroid id (1-based, ties → lowest id) per row
     * — one narrow pass; at scale the output is written bucketed by

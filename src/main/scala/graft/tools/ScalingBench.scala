@@ -20,6 +20,7 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // enough input splits to feed 4N cores (local files are cheap to open;
       // the cluster analog is sizing splits to executor count — BASELINE.md)
