@@ -91,6 +91,11 @@ object PipelineQueries {
       Dedup.simhashByKey(docsWithDups(s, dir), col("text"), col("doc_id"),
           bits = 60, hash = Hashing.Md5)
         .orderBy("doc_id")),
+    "p_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(docsWithDups(s, dir).where(col("text").isNotNull),
+          col("text"), col("doc_id"), maxHamming = 6, bands = 4,
+          bits = 60, hash = Hashing.Md5)
+        .orderBy("doc_a", "doc_b")),
     "p_embedding_neardups" -> ((s, dir) => { // planted exact-copy vector
       val e = emb(s, dir)
       val planted = e.unionByName(
@@ -238,6 +243,20 @@ object PipelineQueries {
         bsize AS (SELECT band, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2)"""
   }
 
+  /** 60-bit SimHash per doc over a `d(doc_id, text)` CTE (wordless docs → 0,
+    * matching explode_outer semantics). */
+  private val simhashCtes: String =
+    s"""w AS (SELECT doc_id, unnest($normWords) AS word FROM d),
+        h AS (SELECT doc_id, ${h64("word")} AS h FROM w),
+        bits AS (SELECT doc_id, g.i,
+                   CASE WHEN sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                        THEN (1::BIGINT << g.i) ELSE 0 END AS bit
+                 FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) g
+                 GROUP BY doc_id, g.i),
+        s AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+        sm AS (SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+               FROM d LEFT JOIN s USING (doc_id))"""
+
   /** Cosine exactly as `Dedup.cosine` computes it (sequential dot folds). */
   private def cosSql(a: String, b: String) =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
@@ -322,16 +341,27 @@ object PipelineQueries {
           FROM bsize WHERE c > 8 ORDER BY band, bucket""",
     "p_simhash" ->
       s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd),
-          w AS (SELECT doc_id, unnest($normWords) AS word FROM d),
-          h AS (SELECT doc_id, ${h64("word")} AS h FROM w),
-          bits AS (SELECT doc_id, g.i,
-                     CASE WHEN sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
-                          THEN (1::BIGINT << g.i) ELSE 0 END AS bit
-                   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) g
-                   GROUP BY doc_id, g.i),
-          s AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id)
-          SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
-          FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
+          ${simhashCtes}
+          SELECT doc_id, simhash FROM sm ORDER BY doc_id""",
+    "p_simhash_neardups" ->
+      s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd WHERE text IS NOT NULL),
+          ${simhashCtes},
+          bucketed AS (SELECT doc_id, g.b AS band,
+                              (simhash >> (g.b * 15)) & 32767 AS bucket
+                       FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+          bsize AS (SELECT band, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bucketed a
+                   JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+                   JOIN bsize s2 ON s2.band = a.band AND s2.bucket = a.bucket
+                   WHERE s2.c <= 64)
+          SELECT doc_a, doc_b, bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+          FROM cand
+          JOIN sm x ON x.doc_id = doc_a
+          JOIN sm y ON y.doc_id = doc_b
+          WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+          ORDER BY doc_a, doc_b""",
     "p_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd),
           wd AS (SELECT doc_id, $normWords AS words FROM d),

@@ -246,22 +246,48 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the `bits` bits into `bands` chunks;
-    * docs sharing any chunk value are candidates (≤ hammingMax differing
-    * bits guarantees a shared band when bands > hammingMax). */
-  def simhashCandidates(df: DataFrame, text: Column, docId: Column,
-                        bands: Int = 4, maxBucket: Int = 64,
-                        bits: Int = 64, hash: HashFamily = Hashing.Xx): DataFrame = {
+  /** Band buckets from a (doc_id, simhash) frame. */
+  private def simhashBuckets(hashes: DataFrame, bands: Int, bits: Int): DataFrame = {
     val width = bits / bands
-    val staged = simhashByKey(df, text, docId, bits, hash)
     val sh = col("simhash")
     val bandBuckets = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         call_function("shiftright", sh, lit(b * width)).bitwiseAND(lit((1L << width) - 1)).as("bucket"))
     }
-    val exploded = staged.select(col("doc_id"), explode(array(bandBuckets: _*)).as("bb"))
+    hashes.select(col("doc_id"), explode(array(bandBuckets: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    pairsFromGrouped(groupedBuckets(exploded), maxBucket)
+  }
+
+  /** SimHash near-dup candidates: band the `bits` bits into `bands` chunks;
+    * docs sharing any chunk value are candidates (≤ hammingMax differing
+    * bits guarantees a shared band when bands > hammingMax). */
+  def simhashCandidates(df: DataFrame, text: Column, docId: Column,
+                        bands: Int = 4, maxBucket: Int = 64,
+                        bits: Int = 64, hash: HashFamily = Hashing.Xx): DataFrame =
+    pairsFromGrouped(groupedBuckets(
+      simhashBuckets(simhashByKey(df, text, docId, bits, hash), bands, bits)), maxBucket)
+
+  /** Full SimHash near-dup pipeline: banded candidates verified by EXACT
+    * Hamming distance (xor + bit_count — codegen'd). Returns
+    * (doc_a, doc_b, hamming) for pairs within `maxHamming` differing bits.
+    * With bands > maxHamming the banding guarantees recall 1.0 among
+    * non-capped buckets (pigeonhole: ≤ maxHamming flips leave one band
+    * untouched). */
+  def simhashNearDuplicates(df: DataFrame, text: Column, docId: Column,
+                            maxHamming: Int = 3, bands: Int = 4,
+                            maxBucket: Int = 64, bits: Int = 64,
+                            hash: HashFamily = Hashing.Xx): DataFrame = {
+    val hashes = simhashByKey(df, text, docId, bits, hash)
+    val cands = pairsFromGrouped(groupedBuckets(
+      simhashBuckets(hashes, bands, bits)), maxBucket)
+    cands
+      .join(hashes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("simhash", "sh_a"), Seq("doc_a"))
+      .join(hashes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("simhash", "sh_b"), Seq("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
   }
 
   // -- embedding near-dup --------------------------------------------------
