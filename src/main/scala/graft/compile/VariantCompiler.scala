@@ -44,6 +44,16 @@ object VariantCompiler {
     def columns: Seq[(String, Column)] = entries.values.toSeq
   }
 
+  /** True when the active session has GraftExtensions installed — type
+    * gates then use the native codegen'd `graft_variant_kind` instead of
+    * CodegenFallback `schema_of_variant` string matching (identical gate
+    * outcomes — see graft.ext.VariantKind). */
+  private def nativeKindAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists("graft_variant_kind")
+      catch { case _: Throwable => false }
+    }
+
   /** One JSON value node. Accessors memoize expensive derivations as staged
     * projection columns for NAMED nodes (root, property chains); lambda
     * -scoped nodes (array elements, runtime keys) compute inline. */
@@ -51,6 +61,8 @@ object VariantCompiler {
     private def memo(suffix: String, c: => Column): Column =
       stager.fold(c)(st => st.stage(s"$key#$suffix", c))
 
+    private lazy val native: Boolean = nativeKindAvailable
+    lazy val kind: Column = memo("kind", call_function("graft_variant_kind", v))
     lazy val tpe: Column = memo("tpe", schema_of_variant(v))
     lazy val asStr: Column = memo("str", try_variant_get(v, "$", "string"))
     lazy val asDbl: Column = memo("dbl", try_variant_get(v, "$", "double"))
@@ -63,13 +75,16 @@ object VariantCompiler {
     // staging it would force a to_json of every row on every scan
     lazy val json: Column = to_json(v)
 
-    def isObj: Column = v.isNotNull && tpe.startsWith("OBJECT")
-    def isArr: Column = v.isNotNull && tpe.startsWith("ARRAY")
-    def isStr: Column = v.isNotNull && tpe === "STRING"
-    def isNum: Column =
-      v.isNotNull && tpe.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)")
-    def isBool: Column = v.isNotNull && tpe === "BOOLEAN"
-    def isJsonNull: Column = v.isNotNull && is_variant_null(v)
+    private def is(kindId: Int, fallback: => Column): Column =
+      if (native) v.isNotNull && kind === kindId else v.isNotNull && fallback
+
+    def isObj: Column = is(graft.ext.GraftVariantOps.Object, tpe.startsWith("OBJECT"))
+    def isArr: Column = is(graft.ext.GraftVariantOps.Array, tpe.startsWith("ARRAY"))
+    def isStr: Column = is(graft.ext.GraftVariantOps.String, tpe === "STRING")
+    def isNum: Column = is(graft.ext.GraftVariantOps.Number,
+      tpe.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"))
+    def isBool: Column = is(graft.ext.GraftVariantOps.Boolean, tpe === "BOOLEAN")
+    def isJsonNull: Column = is(graft.ext.GraftVariantOps.Null, is_variant_null(v))
 
     def has(prop: String): Column = map_contains_key(asMap, prop)
 

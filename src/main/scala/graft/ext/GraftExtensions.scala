@@ -19,5 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_variant_kind"),
+      new ExpressionInfo(classOf[VariantKind].getName, "graft_variant_kind"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_variant_kind takes exactly 1 argument")
+        VariantKind(children.head)
+      }))
   }
 }

@@ -39,6 +39,23 @@ class ExtSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 0.0)
   }
 
+  test("graft_variant_kind agrees with schema_of_variant gates on every JSON shape") {
+    assert(spark.catalog.functionExists("graft_variant_kind"))
+    val shapes = Seq(
+      """{"a":1}""" -> 0, """[1,2]""" -> 1, """"s"""" -> 2,
+      """5""" -> 3, """5.5""" -> 3, """1e60""" -> 3, """0.1""" -> 3,
+      """true""" -> 4, """null""" -> 5)
+    shapes.foreach { case (json, expected) =>
+      val r = spark.sql(
+        s"SELECT graft_variant_kind(parse_json('${json.replace("'", "''")}'))")
+        .collect()(0).getInt(0)
+      assert(r == expected, s"$json → $r, expected $expected")
+    }
+    // SQL-null variant → null kind
+    assert(spark.sql("SELECT graft_variant_kind(cast(null as variant))")
+      .collect()(0).isNullAt(0))
+  }
+
   test("graft_dot runs inside whole-stage codegen (the HOF form cannot)") {
     // non-literal input so ConvertToLocalRelation can't fold the projection
     val df = spark.range(10)
