@@ -133,6 +133,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(byKey == hashes)
   }
 
+  test("simhash near-dups: exact dup verified at hamming 0; distant text excluded") {
+    val pairs = Dedup.simhashNearDuplicates(docsDf, col("text"), col("doc_id"),
+        maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 8L)).contains(0), s"exact dup should verify at hamming 0: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(7L) })
+  }
+
+  test("embedding over-cap buckets are dropped AND counted") {
+    // 20 copies of one vector → its hyperplane bucket exceeds cap 8
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(j + 1)))) :+
+      (100L, Array.tabulate(8)(j => math.cos(j + 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val dropped = Dedup.embeddingBucketStats(df, col("embedding"), col("vec_id"),
+      dim = 8, maxBucket = 8).collect()
+    assert(dropped.length == 1 && dropped(0).getLong(1) == 20L, dropped.toSeq)
+    val pairs = Dedup.embeddingNearDups(df, col("embedding"), col("vec_id"),
+      dim = 8, maxBucket = 8)
+    assert(pairs.count() == 0) // capped → dropped, but counted above
+  }
+
   test("embedding near-dups via hyperplane LSH find planted duplicates") {
     val vecs = (0 until 50).map { i =>
       val base = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
