@@ -83,6 +83,10 @@ object PipelineQueries {
       Dedup.nearDuplicates(docsWithDups(s, dir).where(col("text").isNotNull),
           col("text"), col("doc_id"), threshold = 0.9, hash = Hashing.Md5)
         .orderBy("doc_a", "doc_b")),
+    "p_neardup_drop_list" -> ((s, dir) =>
+      Dedup.nearDupDropList(docsWithDups(s, dir).where(col("text").isNotNull),
+          col("text"), col("doc_id"), threshold = 0.9, hash = Hashing.Md5)
+        .orderBy("doc_id")),
     "p_minhash_dropped_buckets" -> ((s, dir) =>
       Dedup.minhashBucketStats(docsManyDups(s, dir), col("text"), col("doc_id"),
           maxBucket = 8, hash = Hashing.Md5)
@@ -243,6 +247,22 @@ object PipelineQueries {
         bsize AS (SELECT band, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2)"""
   }
 
+  /** LSH candidates + exact Jaccard over the minhash CTE chain → `ver`. */
+  private val verifiedPairsCtes: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bucketed a
+               JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+                              AND a.doc_id < b.doc_id
+               JOIN bsize s ON s.band = a.band AND s.bucket = a.bucket
+               WHERE s.c <= 64),
+       dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM shd),
+       ver AS (SELECT doc_a, doc_b,
+                      len(list_intersect(x.sh, y.sh))::DOUBLE
+                        / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+               FROM cand
+               JOIN dsh x ON x.doc_id = doc_a
+               JOIN dsh y ON y.doc_id = doc_b)"""
+
   /** 60-bit SimHash per doc over a `d(doc_id, text)` CTE (wordless docs → 0,
     * matching explode_outer semantics). */
   private val simhashCtes: String =
@@ -317,21 +337,24 @@ object PipelineQueries {
     "p_minhash_neardups" ->
       s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd WHERE text IS NOT NULL),
           ${minhashCtes("d")},
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bucketed a
-                   JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
-                                  AND a.doc_id < b.doc_id
-                   JOIN bsize s ON s.band = a.band AND s.bucket = a.bucket
-                   WHERE s.c <= 64),
-          dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM shd),
-          ver AS (SELECT doc_a, doc_b,
-                         len(list_intersect(x.sh, y.sh))::DOUBLE
-                           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-                  FROM cand
-                  JOIN dsh x ON x.doc_id = doc_a
-                  JOIN dsh y ON y.doc_id = doc_b)
+          $verifiedPairsCtes
           SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
           FROM ver WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""",
+    "p_neardup_drop_list" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM $docsWithDupsSql dd WHERE text IS NOT NULL),
+          ${minhashCtes("d")},
+          $verifiedPairsCtes,
+          pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.9),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          nodes AS (SELECT DISTINCT a AS id FROM e),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id),
+          comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+          SELECT id AS doc_id, label AS keep_doc_id
+          FROM comp WHERE id != label ORDER BY doc_id""",
     "p_minhash_dropped_buckets" ->
       s"""WITH d AS (SELECT doc_id * 100 + g.i AS doc_id, text
                      FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) g

@@ -195,6 +195,58 @@ object Dedup {
     jaccardVerifyFromShingles(shf, cands, threshold)
   }
 
+  /** Connected components over an undirected pair set — the step that turns
+    * verified near-dup PAIRS into a dedup DECISION (one kept representative
+    * per duplicate cluster). Iterative min-label propagation: each round
+    * every node takes the min of its own and its neighbors' labels;
+    * converges in O(cluster diameter) rounds (near-dup clusters are shallow
+    * by construction — capped LSH buckets). The edge frame is pairs-sized
+    * (≪ corpus), so each round is a small join, never a corpus shuffle.
+    * Returns (id, label) with label = min id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "_old"), Seq("id"))
+        .where(col("label") =!= col("_old")).count()
+      labels.unpersist()
+      labels = updated
+      labels.count()
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full near-dedup decision: MinHash candidates → exact Jaccard verify →
+    * connected components → rows to DROP (everything but the min-id
+    * representative of each duplicate cluster). Returns
+    * (doc_id, keep_doc_id). */
+  def nearDupDropList(df: DataFrame, text: Column, docId: Column,
+                      bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
+                      threshold: Double = 0.7, maxBucket: Int = 64,
+                      hash: HashFamily = Hashing.Xx): DataFrame = {
+    val pairs = nearDuplicates(df, text, docId, bands, rowsPerBand, k,
+      threshold, maxBucket, hash)
+    connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), col("label").as("keep_doc_id"))
+  }
+
   // -- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over words: bit i is the sign of Σ_w (±1 by bit i of

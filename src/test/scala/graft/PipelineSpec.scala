@@ -117,6 +117,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.count() == 0) // all buckets capped → pairs dropped, but counted above
   }
 
+  test("connected components + near-dup drop list keep one representative per cluster") {
+    // chain 1-2-3 (transitive) + pair (10,11): labels collapse to the min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // end-to-end drop list on the text corpus: exact dup 8 collapses onto 1
+    val drops = Dedup.nearDupDropList(docsDf, col("text"), col("doc_id"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drops.get(8L).contains(1L), s"doc 8 should drop in favor of 1: $drops")
+    assert(!drops.contains(1L), "the representative is kept")
+  }
+
   test("simhash: identical text → same hash; near text → small hamming distance") {
     val hashes = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
