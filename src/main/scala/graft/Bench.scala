@@ -63,21 +63,34 @@ object Bench {
     // 0.843-0.910 at 4e6 on the same code) — the pair must be scan-dominated
     val scalingRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "4000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val battReps = sys.env.getOrElse("SPARK_GRAFT_BATT_REPS", "2").toInt
     val nCores = 1 // physical-core pair: 1 vs 4 (see BENCH_SCALING.md)
 
-    // one warm session: generate inputs if absent + JIT/codegen warmup,
-    // then time the driver-query battery once each
+    // executor-shutdown RPC noise (benign MessageLoop traces as sessions
+    // stop between reps) must not land in the captured artifact
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rpc.netty", org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
+
+    // one warm session: generate inputs if absent + JIT/codegen warmup, then
+    // the driver-query battery — MIN of `battReps` INTERLEAVED reps per
+    // query (a single-shot battery on this 7×-jitter VM made round-over-
+    // round per-query deltas meaningless — VERDICT r2 #3)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     withSession(cpus) { spark =>
       ensureParquet(spark, benchRows)
       ensureParquet(spark, scalingRows)
       runSuite(spark, 50000L)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        System.err.println(s"[bench] running $name")
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        results(name) = (System.nanoTime() - t0) / 1e9
+      val battery = SparkEntry.queries.toSeq.sortBy(_._1)
+      (1 to battReps).foreach { r =>
+        battery.foreach { case (name, fn) =>
+          System.err.println(s"[bench] battery rep $r: $name")
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          val t = (System.nanoTime() - t0) / 1e9
+          results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
+        }
       }
     }
 
@@ -104,6 +117,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$benchRows,"cpus":$cpus,"reps":$reps,"scaling":{"rows":$scalingRows,"n_cores":$nCores,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"tput_n":${scalingRows / secN}%.0f,"tput_4n":${scalingRows / sec4N}%.0f,"efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$benchRows,"cpus":$cpus,"reps":$reps,"batt_reps":$battReps,"scaling":{"rows":$scalingRows,"n_cores":$nCores,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"tput_n":${scalingRows / secN}%.0f,"tput_4n":${scalingRows / sec4N}%.0f,"efficiency":$eff%.3f}}""")
   }
 }

@@ -35,7 +35,14 @@ object SubmitJob {
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
   def run(args: Array[String]): Int = {
-    val opts = parseArgs(args)
+    val opts = parseArgs(args) match {
+      case None =>
+        System.err.println(
+          "bad usage: expected --key value pairs (a lone/misspelled flag or " +
+            "a flag without a value is an error, not a silent default)")
+        return 2
+      case Some(o) => o
+    }
     val required = Seq("input", "dim", "out", "store")
     val missing = required.filterNot(opts.contains)
     if (missing.nonEmpty) {
@@ -57,30 +64,43 @@ object SubmitJob {
       .getOrElse(SpecParser.parse(graft.data.SequenceGen.SeqSpecJson))
     val out = opts("out")
 
+    // every output row carries this run's epoch (also the hive partition, so
+    // the gate read prunes to one partition): prior runs' failing verdicts —
+    // or rows duplicated when a crash between sink and store.append forces a
+    // re-validate + re-append — can no longer flip THIS run's exit code
+    // (ADVICE r2)
+    val runEpoch = System.currentTimeMillis()
     val sink: Validation => Unit = { v =>
-      v.verdicts.write.mode("append").parquet(s"$out/verdicts")
-      v.violations.write.mode("append").parquet(s"$out/violations")
+      v.verdicts.withColumn("run_epoch", lit(runEpoch))
+        .write.mode("append").partitionBy("run_epoch").parquet(s"$out/verdicts")
+      v.violations.withColumn("run_epoch", lit(runEpoch))
+        .write.mode("append").partitionBy("run_epoch").parquet(s"$out/violations")
     }
 
     Suite.resumableRun(
       spark.read.parquet(opts("input")),
       spark.read.parquet(opts("dim")),
       MetricsStore(opts("store")),
-      spec, cfg, sink = sink) match {
+      spec, cfg, runEpoch = runEpoch, sink = sink) match {
       case None =>
         println("graft: nothing to validate (all partitions checkpointed)")
         0
       case Some(_) =>
-        // gate on THIS run's persisted verdicts (the sink already ran)
+        // gate on THIS run's persisted verdicts only (the sink already ran)
         val failed = spark.read.parquet(s"$out/verdicts")
-          .where(!col("pass")).count()
+          .where(col("run_epoch") === runEpoch && !col("pass")).count()
         println(s"graft: run complete, $failed failing (part, constraint) verdicts")
         if (failed == 0) 0 else 1
     }
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  /** Strict --key value pairs: an odd-length tail or a key without `--` is
+    * bad usage (exit 2), never a silent fall-through to defaults. */
+  private def parseArgs(args: Array[String]): Option[Map[String, String]] = {
+    if (args.length % 2 != 0) return None
+    val pairs = args.grouped(2).toSeq
+    if (pairs.forall { case Array(k, _) => k.startsWith("--") && k.length > 2 })
+      Some(pairs.map { case Array(k, v) => k.drop(2) -> v }.toMap)
+    else None
+  }
 }

@@ -536,9 +536,12 @@ object Compiler {
     * enum/const values even when numerically equal (the reference compares
     * `JSON::Any` numerically — 1 == 1.0). */
   private def renderForType(j: JsonVal, dt: DataType): String = (j, dt) match {
-    case (n: JNum, FloatType | DoubleType) =>
-      if (n.v.isWhole) n.v.toBigInt.toString + ".0"
-      else n.v.underlying.stripTrailingZeros.toPlainString
+    // render through the SAME path as to_json: Jackson's writeNumber(double)
+    // emits Double.toString, which switches to scientific notation outside
+    // [1e-3, 1e7) — BigDecimal plain notation could never match a "1.0E21"
+    // rendered by the scan side (ADVICE r2)
+    case (n: JNum, FloatType)  => java.lang.Float.toString(n.v.toFloat)
+    case (n: JNum, DoubleType) => java.lang.Double.toString(n.v.toDouble)
     case (n: JNum, d: DecimalType) =>
       n.v.underlying.setScale(d.scale).toPlainString
     case (a: JArr, at: ArrayType) =>

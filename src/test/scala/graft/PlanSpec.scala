@@ -112,6 +112,42 @@ class PlanSpec extends AnyFunSuite {
     assert("parseJson".r.findAllIn(p).size <= 1, "parse_json duplicated:\n" + p)
   }
 
+  test("bucket cap filters BELOW every collect_list — no over-cap aggregation buffer") {
+    // VERDICT r2 #2 gate: an over-cap (boilerplate) bucket must be dropped
+    // by a Filter on the window-counted bucket_size BEFORE any collect_list
+    // buffers it — structurally: Aggregate(collect_list) → Filter(bucket
+    // _size) → Window in the optimized plan, for both the text-LSH and the
+    // embedding pipelines.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.logical
+    def gate(df: org.apache.spark.sql.DataFrame): Unit = {
+      val aggs = df.queryExecution.optimizedPlan.collect {
+        case a: logical.Aggregate
+            if a.aggregateExpressions.exists(_.exists(_.isInstanceOf[CollectList])) => a
+      }
+      assert(aggs.nonEmpty, "no collect_list aggregate found")
+      aggs.foreach { a =>
+        val capFilters = a.child.collect {
+          case f: logical.Filter if f.condition.exists {
+            case at: AttributeReference => at.name == "bucket_size"
+            case _ => false
+          } => f
+        }
+        assert(capFilters.nonEmpty,
+          "collect_list has no bucket_size cap filter below it:\n" + a.treeString)
+        assert(capFilters.exists(_.child.collect { case w: logical.Window => w }.nonEmpty),
+          "cap filter is not fed by a window count:\n" + a.treeString)
+      }
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gate(graft.pipeline.Dedup.minhashCandidates(docs, col("text"), col("doc_id")))
+    gate(graft.pipeline.Dedup.simhashCandidates(docs, col("text"), col("doc_id")))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = emb.select(size(col("embedding"))).collect()(0).getInt(0)
+    gate(graft.pipeline.Dedup.embeddingNearDups(emb, col("embedding"), col("vec_id"), d))
+  }
+
   test("minhash signature stage computes shingles once — no inferred-filter recompute") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val shf = graft.pipeline.Dedup.shingleFrame(df, col("text"), col("doc_id"))
