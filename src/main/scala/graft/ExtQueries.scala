@@ -92,6 +92,19 @@ object ExtQueries {
        ORDER BY w_start, constraint_id"""
 
   private val MediaRows = 5000L
+  private val ImageRows = 2000L
+
+  /** The REAL-codec arm (VERDICT r2 #6): genuine PNG bytes round-trip
+    * through javax.imageio on the Spark side; the oracle predicts the
+    * decoded dimensions purely from the generator contract (w = 8 + id mod
+    * 32, h = 8 + ⌊id/7⌋ mod 32). n_bytes is excluded — PNG encoding size is
+    * codec-internal, not contract-predictable. */
+  private val imageMetaOracle =
+    s"""SELECT id AS doc_id, 'image' AS media_type,
+              (8 + id % 32)::INT AS width,
+              (8 + (id // 7) % 32)::INT AS height,
+              (1)::INT AS n_frames
+       FROM range($ImageRows) t(id) ORDER BY doc_id"""
 
   private val multimodalOracle =
     s"""SELECT id AS doc_id,
@@ -106,9 +119,14 @@ object ExtQueries {
     "s_stream_verdicts" -> (streamVerdicts _),
     "p_multimodal_meta" -> ((s, _) =>
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, MediaRows)).toDF()
+        .orderBy("doc_id")),
+    "p_image_meta" -> ((s, _) =>
+      Multimodal.decodeMeta(Multimodal.syntheticPngImages(s, ImageRows)).toDF()
+        .select("doc_id", "media_type", "width", "height", "n_frames")
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "s_stream_verdicts" -> streamOracle,
-    "p_multimodal_meta" -> multimodalOracle)
+    "p_multimodal_meta" -> multimodalOracle,
+    "p_image_meta" -> imageMetaOracle)
 }

