@@ -42,43 +42,118 @@ object Similarity {
   def centroids(numCentroids: Int, dim: Int, seed: Long = 7L): Array[Array[Int]] =
     Seeded.matrix(numCentroids, dim, seed)
 
+  /** Collect a bounded vector sample to the driver (the k-means training
+    * set). Pass a deterministically ordered frame if reproducible centroids
+    * matter; n is small (≲ 10⁴) — training is a driver-side O(n·k·iters)
+    * loop, never a cluster job. */
+  def sampleVectors(df: DataFrame, vec: Column, n: Int): Array[Array[Double]] =
+    df.select(vec.cast("array<double>").as("v")).limit(n)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** TRAINED centroids: spherical k-means (Lloyd iterations on the unit
+    * sphere — assignment by max dot product, centers re-normalized each
+    * round) over a driver-side sample, k-means++-style seeding from a
+    * deterministic RNG. Returns a literal matrix shaped exactly like
+    * `centroids(...)` — the trained variant drops into `ivfAssignWith` /
+    * `ivfTopKWith` the same way the seeded-random one does, which is the
+    * production path: train on a corpus sample, embed the result as plan
+    * literals, nothing re-derived per row. */
+  def trainCentroids(sample: Array[Array[Double]], k: Int, iters: Int = 10,
+                     seed: Long = 7L): Array[Array[Double]] = {
+    require(sample.nonEmpty && sample.length >= k, s"need ≥ $k sample vectors")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val xs = sample.map(unit)
+    val rnd = new java.util.Random(seed)
+    // k-means++ seeding with angular distance (1 - dot)
+    val centers = scala.collection.mutable.ArrayBuffer(xs(rnd.nextInt(xs.length)))
+    while (centers.size < k) {
+      val d2 = xs.map { x =>
+        val d = centers.map(c => 1.0 - dotD(x, c)).min
+        d * d
+      }
+      val total = d2.sum
+      if (total <= 0) centers += xs(rnd.nextInt(xs.length))
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < xs.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        centers += xs(i)
+      }
+    }
+    var cents = centers.toArray
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](xs(0).length))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bestDot = dotD(x, cents(0)); var i = 1
+        while (i < k) {
+          val d = dotD(x, cents(i))
+          if (d > bestDot) { best = i; bestDot = d }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < x.length) { sums(best)(j) += x(j); j += 1 }
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) else unit(sums(i)) // empty cluster: keep
+      }.toArray
+    }
+    cents
+  }
+
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Cosine of a vector column against each literal centroid, with the
     * vector's norm STAGED once (`_nv`) so it isn't recomputed per centroid. */
-  private def centroidScores(vec: Column, cents: Array[Array[Int]]): Seq[Column] = {
+  private def centroidScores(vec: Column, cents: Array[Array[Double]]): Seq[Column] = {
     val normV = col("_graft_nv")
     cents.toSeq.map { c =>
-      val normC = math.sqrt(c.map(x => x.toDouble * x).sum)
-      Dedup.dotLit(vec, c) / (normV * lit(normC))
+      val normC = math.sqrt(c.map(x => x * x).sum)
+      Dedup.dot(vec, typedlit(c.toSeq)) / (normV * lit(normC))
     }
   }
 
   private def withNorm(df: DataFrame, vec: Column): DataFrame =
     df.withColumn("_graft_nv", sqrt(Dedup.dot(vec, vec)))
 
-  /** IVF assignment: nearest centroid id (1-based, ties → lowest id) per row
-    * — one narrow pass; at scale the output is written bucketed by
-    * `centroid` so probes prune buckets. */
-  def ivfAssign(df: DataFrame, vec: Column, numCentroids: Int, dim: Int,
-                seed: Long = 7L): DataFrame = {
-    val scored = array(centroidScores(vec, centroids(numCentroids, dim, seed)): _*)
+  /** IVF assignment against an EXPLICIT literal centroid matrix (seeded
+    * pseudo-random or k-means-trained): nearest centroid id (1-based, ties
+    * → lowest id) per row — one narrow pass; at scale the output is written
+    * bucketed by `centroid` so probes prune buckets. */
+  def ivfAssignWith(df: DataFrame, vec: Column,
+                    cents: Array[Array[Double]]): DataFrame = {
+    val scored = array(centroidScores(vec, cents): _*)
     withNorm(df, vec)
       .withColumn("centroid", array_position(scored, array_max(scored)).cast("int"))
       .drop("_graft_nv")
   }
 
-  /** IVF top-k: each query probes its `nprobe` closest centroid buckets and
-    * scores only those corpus rows — recall trades off against the fraction
-    * of the corpus scanned (nprobe / numCentroids). */
-  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-              queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int = 10, numCentroids: Int = 16, dim: Int = 64,
-              nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    val assigned = ivfAssign(
+  def ivfAssign(df: DataFrame, vec: Column, numCentroids: Int, dim: Int,
+                seed: Long = 7L): DataFrame =
+    ivfAssignWith(df, vec, centroids(numCentroids, dim, seed).map(_.map(_.toDouble)))
+
+  /** IVF top-k against an explicit centroid matrix: each query probes its
+    * `nprobe` closest centroid buckets and scores only those corpus rows —
+    * recall trades off against the fraction of the corpus scanned
+    * (nprobe / numCentroids); with TRAINED centroids the same nprobe buys
+    * materially higher recall (see the recall@k test in PipelineSpec). */
+  def ivfTopKWith(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                  queries: DataFrame, queryId: Column, queryVec: Column,
+                  cents: Array[Array[Double]], k: Int = 10,
+                  nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssignWith(
       corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv")),
-      col("cv"), numCentroids, dim, seed)
+      col("cv"), cents)
 
     // top-nprobe centroids per query: sort (−score, idx) structs, slice
-    val cents = centroids(numCentroids, dim, seed)
     val scoredIdx = centroidScores(col("qv"), cents).zipWithIndex.map { case (s, i) =>
       struct((-s).as("negscore"), lit(i + 1).as("idx"))
     }
@@ -97,4 +172,11 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
+
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int = 10, numCentroids: Int = 16, dim: Int = 64,
+              nprobe: Int = 4, seed: Long = 7L): DataFrame =
+    ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      centroids(numCentroids, dim, seed).map(_.map(_.toDouble)), k, nprobe)
 }

@@ -40,6 +40,15 @@ object VariantPerf {
         .orderBy("doc_id", "constraint_id")
         .write.format("noop").mode("overwrite").save()
     }
+    // codegen participation: if the extraction projection prints INSIDE a
+    // WholeStageCodegen span, Spark 4.1's VariantGet doGenCode is active and
+    // a custom native extraction Expression buys nothing structural
+    val probe = ev.select(parse_json(col("props")).as("v"))
+      .select(try_variant_get(col("v"), "$", "map<string,variant>").as("m"),
+        try_variant_get(col("v"), "$.k", "double").as("k"))
+      .agg(sum(col("k")))
+    probe.collect() // AQE prints codegen spans only in the FINAL plan
+    println(probe.queryExecution.executedPlan.toString.linesIterator.take(20).mkString("\n"))
     spark.stop()
   }
 }

@@ -241,6 +241,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall vs brute force too low: $recall")
   }
 
+  test("trained IVF centroids: recall@10 measured per nprobe, beats blind probing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+    val sample = Similarity.sampleVectors(emb.orderBy("vec_id"), col("embedding"), 512)
+    val trained = Similarity.trainCentroids(sample, k = 16, iters = 10, seed = 7L)
+    assert(trained.length == 16 && trained.forall(c =>
+      math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9), "centroids must be unit vectors")
+
+    val queries = emb.where(col("vec_id") < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topSet(Similarity.bruteForceTopK(
+      emb, col("vec_id"), col("embedding"), queries, col("vec_id"), col("embedding"), k = 10))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, s) =>
+        approx.get(q).fold(0.0)(a => (a & s).size.toDouble / s.size)
+      }.sum / exact.size
+    def rec(cents: Array[Array[Double]], np: Int): Double = recall(topSet(
+      Similarity.ivfTopKWith(emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), cents, k = 10, nprobe = np)))
+    val seeded = Similarity.centroids(16, 64, 7L).map(_.map(_.toDouble))
+    val (t1, t4, s4) = (rec(trained, 1), rec(trained, 4), rec(seeded, 4))
+    info(f"IVF recall@10 (16 centroids): trained nprobe=1 → $t1%.3f, nprobe=4 → $t4%.3f; seeded-random nprobe=4 → $s4%.3f")
+    assert(t4 >= t1, "more probes cannot lose recall")
+    assert(t4 > s4, f"training must beat blind random centroids at equal probe budget: $t4%.3f vs $s4%.3f")
+  }
+
   test("multimodal: stub decode plumbing — meta, features, frames, spec validation") {
     val media = Multimodal.syntheticMedia(spark, 120)
     val meta = Multimodal.decodeMeta(media)
