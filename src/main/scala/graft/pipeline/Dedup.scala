@@ -238,10 +238,15 @@ object Dedup {
     * converged labels would let `nearDupDropList` emit a keep_doc_id that is
     * itself dropped (ADVICE r2). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // persist the DIRECTED pair set, not the doubled union: both union arms
+    // read the same cached frame, so the expensive upstream evaluates once
+    // (not once per arm), and the doubled edge frame is derived cheaply
+    val p = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
+    p.count() // materialize: everything upstream of the pairs runs ONCE
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    edges.count() // materialize: everything upstream of the pairs runs ONCE
+    edges.count()
+    p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
