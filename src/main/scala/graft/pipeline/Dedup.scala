@@ -342,7 +342,9 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** Band buckets from a (doc_id, simhash) frame. */
+  /** Band buckets from a (doc_id, simhash) frame; the simhash rides along
+    * so the Hamming verify can read it out of the collected bucket instead
+    * of joining the hash pipeline back twice (pruned away when unused). */
   private def simhashBuckets(hashes: DataFrame, bands: Int, bits: Int): DataFrame = {
     val width = bits / bands
     val sh = col("simhash")
@@ -350,8 +352,8 @@ object Dedup {
       struct(lit(b).as("band"),
         call_function("shiftright", sh, lit(b * width)).bitwiseAND(lit((1L << width) - 1)).as("bucket"))
     }
-    hashes.select(col("doc_id"), explode(array(bandBuckets: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    hashes.select(col("doc_id"), col("simhash"), explode(array(bandBuckets: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** SimHash near-dup candidates: band the `bits` bits into `bands` chunks;
@@ -368,22 +370,35 @@ object Dedup {
     * (doc_a, doc_b, hamming) for pairs within `maxHamming` differing bits.
     * With bands > maxHamming the banding guarantees recall 1.0 among
     * non-capped buckets (pigeonhole: ≤ maxHamming flips leave one band
-    * untouched). */
+    * untouched).
+    *
+    * The simhash value travels through the bucket collect (like the
+    * embedding pipeline carries its vector), so Hamming verification reads
+    * it straight out of the pair — the r2 shape joined the hash frame back
+    * onto the candidates twice, executing the simhash aggregation pipeline
+    * three times per run. */
   def simhashNearDuplicates(df: DataFrame, text: Column, docId: Column,
                             maxHamming: Int = 3, bands: Int = 4,
                             maxBucket: Int = 64, bits: Int = 64,
                             hash: HashFamily = Hashing.Xx): DataFrame = {
-    val hashes = simhashByKey(df, text, docId, bits, hash)
-    val cands = pairsFromSized(sizedBuckets(
-      simhashBuckets(hashes, bands, bits)), maxBucket)
-    cands
-      .join(hashes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("simhash", "sh_a"), Seq("doc_a"))
-      .join(hashes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("simhash", "sh_b"), Seq("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val sized = sizedBuckets(
+      simhashBuckets(simhashByKey(df, text, docId, bits, hash), bands, bits))
+    val grouped = sized
+      .where(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id").as("vid"), col("simhash").as("sh"))).as("docs"))
+    grouped.select(explode(flatten(
+        transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))),
+            c => struct(a.as("a"), c.as("b"))))))
+        .as("p"))
+      .select(
+        least(col("p.a.vid"), col("p.b.vid")).as("doc_a"),
+        greatest(col("p.a.vid"), col("p.b.vid")).as("doc_b"),
+        bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .distinct()
   }
 
   // -- embedding near-dup --------------------------------------------------

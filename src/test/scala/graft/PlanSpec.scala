@@ -143,6 +143,7 @@ class PlanSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     gate(graft.pipeline.Dedup.minhashCandidates(docs, col("text"), col("doc_id")))
     gate(graft.pipeline.Dedup.simhashCandidates(docs, col("text"), col("doc_id")))
+    gate(graft.pipeline.Dedup.simhashNearDuplicates(docs, col("text"), col("doc_id")))
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val d = emb.select(size(col("embedding"))).collect()(0).getInt(0)
     gate(graft.pipeline.Dedup.embeddingNearDups(emb, col("embedding"), col("vec_id"), d))
