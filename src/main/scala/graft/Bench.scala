@@ -95,14 +95,22 @@ object Bench {
     }
 
     // interleaved suite reps: headline level then the scaling pair, fresh
-    // session per run, identical bytes per rows-count
-    val levels = Seq(cpus -> benchRows, nCores -> scalingRows, (4 * nCores) -> scalingRows)
+    // session per run, identical bytes per rows-count. The PAIR gets extra
+    // reps (default 5): efficiency is a RATIO of two noisy walls on a VM
+    // with 7× noisy-neighbor jitter, and min-of-reps per leg only converges
+    // to the quiet-machine truth with enough windows — 3 reps measurably
+    // under-estimated it on busy days (BASELINE.md r3 notes)
+    val pairReps = sys.env.getOrElse("SPARK_GRAFT_PAIR_REPS", "5").toInt
     val times = scala.collection.mutable.Map[(Int, Long), Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    (1 to reps).foreach { r =>
+    (1 to math.max(reps, pairReps)).foreach { r =>
+      val levels =
+        (if (r <= reps) Seq(cpus -> benchRows) else Seq.empty) ++
+          (if (r <= pairReps) Seq(nCores -> scalingRows, (4 * nCores) -> scalingRows)
+           else Seq.empty)
       levels.foreach { case (lv, rows) =>
-        System.err.println(s"[bench] suite rep $r at local[$lv] × $rows rows")
         val t = withSession(lv)(s => runSuite(s, rows)._1)
+        System.err.println(f"[bench] suite rep $r local[$lv] × $rows rows: $t%.2f s")
         times((lv, rows)) = times((lv, rows)) :+ t
       }
     }
@@ -116,7 +124,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
+    def arr(v: Vector[Double]) = v.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val allN = arr(times((nCores, scalingRows)))
+    val all4N = arr(times((4 * nCores, scalingRows)))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$benchRows,"cpus":$cpus,"reps":$reps,"batt_reps":$battReps,"scaling":{"rows":$scalingRows,"n_cores":$nCores,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"tput_n":${scalingRows / secN}%.0f,"tput_4n":${scalingRows / sec4N}%.0f,"efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$benchRows,"cpus":$cpus,"reps":$reps,"batt_reps":$battReps,"scaling":{"rows":$scalingRows,"n_cores":$nCores,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"tput_n":${scalingRows / secN}%.0f,"tput_4n":${scalingRows / sec4N}%.0f,"efficiency":$eff%.3f,"pair_reps":$pairReps,"all_n":$allN,"all_4n":$all4N}}""")
   }
 }

@@ -23,8 +23,10 @@ object ScalingBench {
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // enough input splits to feed 4N cores (local files are cheap to open;
-      // the cluster analog is sizing splits to executor count — BASELINE.md)
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      // the cluster analog is sizing splits to executor count — BASELINE.md);
+      // overridable for split-size experiments
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", (16 * 1024 * 1024).toString))
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       // the nested-column vectorized reader degrades badly on array<int>
       // at this heap size (measured 13s vs 1.6s on the tokens scan)
