@@ -66,11 +66,16 @@ object Bench {
     val battReps = sys.env.getOrElse("SPARK_GRAFT_BATT_REPS", "2").toInt
     val nCores = 1 // physical-core pair: 1 vs 4 (see BENCH_SCALING.md)
 
-    // executor-shutdown RPC noise (benign MessageLoop traces as sessions
-    // stop between reps) must not land in the captured artifact
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rpc.netty", org.apache.logging.log4j.Level.OFF)
-    catch { case _: Throwable => () }
+    // benign teardown noise (MessageLoop traces as sessions stop between
+    // reps; the streaming state-store maintenance thread warning once its
+    // coordinator endpoint is gone) must not land in the captured artifact
+    try {
+      val off = org.apache.logging.log4j.Level.OFF
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rpc.netty", off)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.state.StateStore", off)
+    } catch { case _: Throwable => () }
 
     // one warm session: generate inputs if absent + JIT/codegen warmup, then
     // the driver-query battery — MIN of `battReps` INTERLEAVED reps per

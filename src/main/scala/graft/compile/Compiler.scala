@@ -335,8 +335,13 @@ object Compiler {
 
     val itemsChecks = a.items.toVector.map { sub =>
       val offending = filter(v, e => !pred(sub, e, elemType))
-      mkc("items", itemsMessage(sub, elemType), forall(v, e => pred(sub, e, elemType)),
-          to_json(offending))
+      // hottest expression of the token suite: the element-domain forall is
+      // a CodegenFallback HOF; use the native codegen'd range loop when the
+      // subschema is a pure integral range and graft extensions are active
+      // (identical semantics — ExtSpec pins parity incl. null elements)
+      val ok = nativeRangeForall(sub, v, elemType)
+        .getOrElse(forall(v, e => pred(sub, e, elemType)))
+      mkc("items", itemsMessage(sub, elemType), ok, to_json(offending))
     }
 
     // spec-correct bounds guard — the reference indexes unconditionally and
@@ -384,6 +389,43 @@ object Compiler {
     itemsChecks ++ prefixChecks ++ tupleChecks ++ containsChecks ++
       minItemsChecks ++ maxItemsChecks ++ uniqueChecks ++ enumChecks ++ compChecks
   }
+
+  /** Native `graft_all_in_range` fast path for the commonest 100-TB items
+    * shape — a pure integral range over an integral element type (the
+    * north-star token-domain check). Equivalence conditions (else None →
+    * composable `forall`): no multipleOf/enum/composites (those need the
+    * general pred), every present bound a whole valid long (fractional
+    * bounds compare as doubles), and the graft extensions registered in the
+    * active session. `integer:true` is statically satisfied on integral
+    * columns, and multiple bounds of one side collapse to the tightest
+    * (strict wins ties). */
+  private def nativeRangeForall(sub: Spec, v: Column, elemType: DataType): Option[Column] = sub match {
+    case n: NumSpec
+        if (elemType == ByteType || elemType == ShortType ||
+          elemType == IntegerType || elemType == LongType) &&
+          n.multipleOf.isEmpty && n.enumList.isEmpty && n.composites.isEmpty &&
+          Seq(n.minimum, n.maximum, n.exclusiveMinimum, n.exclusiveMaximum)
+            .forall(_.forall(b => b.isWhole && b.isValidLong)) &&
+          nativeRangeAvailable =>
+      val (lo, ls) = (n.minimum.map(b => (b.toLong, false)) ++
+          n.exclusiveMinimum.map(b => (b.toLong, true)))
+        .foldLeft((Long.MinValue, false)) { case ((bl, bs), (xl, xs)) =>
+          if (xl > bl || (xl == bl && xs)) (xl, xs) else (bl, bs)
+        }
+      val (hi, hs) = (n.maximum.map(b => (b.toLong, false)) ++
+          n.exclusiveMaximum.map(b => (b.toLong, true)))
+        .foldLeft((Long.MaxValue, false)) { case ((bh, bs), (xh, xs)) =>
+          if (xh < bh || (xh == bh && xs)) (xh, xs) else (bh, bs)
+        }
+      Some(call_function("graft_all_in_range", v, lit(lo), lit(hi), lit(ls), lit(hs)))
+    case _ => None
+  }
+
+  private def nativeRangeAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists("graft_all_in_range")
+      catch { case _: Throwable => false }
+    }
 
   /** Items sub-errors surface the child's own failure message where the
     * subschema is a single-keyword spec (the reference surfaces child errors

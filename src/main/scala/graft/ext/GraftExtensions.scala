@@ -26,5 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_variant_kind takes exactly 1 argument")
         VariantKind(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_all_in_range"),
+      new ExpressionInfo(classOf[ForallInRange].getName, "graft_all_in_range"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5, "graft_all_in_range takes exactly 5 arguments")
+        ForallInRange(children(0), children(1), children(2), children(3), children(4))
+      }))
   }
 }
