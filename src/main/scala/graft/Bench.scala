@@ -53,6 +53,48 @@ object Bench {
     }
   }
 
+  /** Run one scaling-pair leg in an ISOLATED child JVM sized to `cpus` via
+    * -XX:ActiveProcessorCount (see ScalingLeg's scaladoc for why: a shared
+    * 32-core JVM gives the 1-core leg 32-thread GC/JIT for free and biases
+    * the pair). Inherits this JVM's --add-opens/-D/-Xmx flags; stderr
+    * passes through, stdout carries `LEG <sec>`. None on any failure →
+    * caller falls back to the in-JVM session. */
+  private def runLegIsolated(cpus: Int, rows: Long): Option[Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toList
+      val keep = scala.collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < in.length) {
+        val a = in(i)
+        if (a == "--add-opens" || a == "--add-exports") {
+          keep += a
+          if (i + 1 < in.length) { keep += in(i + 1); i += 1 }
+        } else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=") ||
+            a.startsWith("-D") || a.startsWith("-Xmx")) keep += a
+        i += 1
+      }
+      val cmd = Seq(javaBin) ++ keep ++ Seq(
+        s"-XX:ActiveProcessorCount=$cpus",
+        "-cp", sys.props("java.class.path"),
+        "graft.tools.ScalingLeg", rows.toString, cpus.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val ok = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      if (!ok) { proc.destroyForcibly(); None }
+      else out.linesIterator.collectFirst {
+        case l if l.startsWith("LEG ") => l.drop(4).trim.toDouble
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] isolated leg failed (${e.getMessage}); in-JVM fallback")
+      None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -114,7 +156,17 @@ object Bench {
           (if (r <= pairReps) Seq(nCores -> scalingRows, (4 * nCores) -> scalingRows)
            else Seq.empty)
       levels.foreach { case (lv, rows) =>
-        val t = withSession(lv)(s => runSuite(s, rows)._1)
+        // SPARK_GRAFT_ISOLATED_LEGS=1 runs pair legs in child JVMs sized to
+        // their core count (ActiveProcessorCount — see runLegIsolated): the
+        // faithful executor-container analog, but each rep pays a fresh
+        // JIT, which measured NOISIER than the shared-JVM default on this
+        // jittery VM — so isolation is opt-in, in-JVM is the default
+        val isolate = sys.env.get("SPARK_GRAFT_ISOLATED_LEGS").contains("1")
+        val t =
+          if (lv != cpus && isolate)
+            runLegIsolated(lv, rows)
+              .getOrElse(withSession(lv)(s => runSuite(s, rows)._1))
+          else withSession(lv)(s => runSuite(s, rows)._1)
         System.err.println(f"[bench] suite rep $r local[$lv] × $rows rows: $t%.2f s")
         times((lv, rows)) = times((lv, rows)) :+ t
       }

@@ -32,6 +32,11 @@ object ScalingBench {
       // at this heap size (measured 13s vs 1.6s on the tokens scan)
       .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // every AQE stage completion re-renders the plan description for the
+      // SQL listener bus; the suite plan is hundreds of checks × 35 stages,
+      // so an unbounded plan string is measurable driver-side serial time
+      // between stages — truncate it (the UI is off anyway)
+      .config("spark.sql.maxPlanStringLength", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
