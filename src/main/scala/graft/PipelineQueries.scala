@@ -74,8 +74,10 @@ object PipelineQueries {
     // the REAL Metrics.partitionStats path (HLL++ / GK / t-digest state
     // included — VERDICT r2 #7): exact columns oracled exactly; each sketch
     // column becomes a VERIFIABLE CLAIM the oracle pins to true — HLL++
-    // within 5% of the exact distinct (it is exact in sparse mode at these
-    // cardinalities), GK q50 between the exact p45/p55 (rank error ≤ 1e-4),
+    // within 3×rsd of the exact distinct (default rsd 0.05 is a STANDARD
+    // DEVIATION — a 1σ bound fails ~1/3 of the time and did at sf0.1's
+    // 250-distinct partitions; Spark's HLL++ has no exact sparse mode),
+    // GK q50 between the exact p45/p55 (rank error ≤ 1e-4),
     // t-digest total weight == non-null count (merge-invariant of the state)
     "x_metrics_sketch" -> ((s, dir) => {
       val df = docs(s, dir).withColumn("part", col("source"))
@@ -92,9 +94,9 @@ object PipelineQueries {
           col("n_chars_min"), col("n_chars_max"),
           round(col("n_chars_avg"), 4).as("n_chars_avg"),
           col("doc_id_nulls"), col("lang_nulls"),
-          (abs(col("doc_id_approx_distinct") - col("_ed")) <= col("_ed") * 0.05)
+          (abs(col("doc_id_approx_distinct") - col("_ed")) <= greatest(col("_ed") * 0.15, lit(2.0)))
             .as("hll_key_ok"),
-          (abs(col("lang_approx_distinct") - col("_el")) <= greatest(col("_el") * 0.05, lit(1.0)))
+          (abs(col("lang_approx_distinct") - col("_el")) <= greatest(col("_el") * 0.15, lit(2.0)))
             .as("hll_cat_ok"),
           element_at(col("n_chars_quantiles"), 1).between(col("_p45"), col("_p55"))
             .as("gk_q50_ok"),
