@@ -26,6 +26,21 @@ class CrossRowSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("generator bytes are PINNED across code changes (cross-release signature)") {
+    // order-insensitive full-row hash signature of sequences(50000, 16),
+    // recorded before the overflow-safe mod-Vocab token rewrite and
+    // verified identical after it (tools/GenCheck) — scaling runs depend on
+    // "identical bytes at every parallelism AND every code revision"
+    import org.apache.spark.sql.functions._
+    val sig = SequenceGen.sequences(spark, 50000L, 16)
+      .select(xxhash64(col("doc_id"), col("tokens"), col("n_tok"),
+        col("source"), col("part")).as("h"))
+      .agg(count(lit(1)), sum(pmod(col("h"), lit(1000003L))),
+        sum(pmod(col("h"), lit(999983L))), sum(pmod(col("h"), lit(7919L))))
+      .collect()(0)
+    assert(sig.toSeq == Seq(50000L, 25028523574L, 25036729454L, 198084015L), sig.toSeq)
+  }
+
   test("duplicateKeys finds exactly the injected duplicates (salted two-stage)") {
     val dups = CrossRow.duplicateKeys(seqs, "doc_id")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
