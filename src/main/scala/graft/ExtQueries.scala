@@ -32,9 +32,11 @@ object ExtQueries {
          "event_type":{"type":"string","enum":["click","view","purchase","signup"]},
          "value":{"type":"number","minimum":0,"maximum":400}}}"""
 
-  private def streamVerdicts(s: SparkSession, dir: String): DataFrame = {
-    // the file streaming source lists a DIRECTORY; the testdata table is a
-    // single parquet file, so stage it into one (bytes unchanged)
+  /** The file streaming source lists a DIRECTORY; the testdata table is a
+    * single parquet file, so stage it into one (bytes unchanged). One file
+    * also means ONE micro-batch under AvailableNow — which makes
+    * update-mode state outputs deterministic for the oracle. */
+  private def stagedEventsDir(dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
@@ -45,7 +47,11 @@ object ExtQueries {
       java.nio.file.Files.copy(src, staged,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val path = staged.getParent.toString
+    staged.getParent.toString
+  }
+
+  private def streamVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedEventsDir(dir)
     val schema = s.read.parquet(path).schema
     // parquet timestamps are NTZ; watermarks need TIMESTAMP — the cast
     // reinterprets the wall clock in the (UTC) session zone, which is also
@@ -66,6 +72,30 @@ object ExtQueries {
     q.awaitTermination()
     s.table(sink).orderBy("w_start", "constraint_id")
   }
+
+  /** Stateful streaming dedup ledger (`flatMapGroupsWithState`): per-key
+    * occurrence counts over a keyed event stream; single staged file →
+    * single AvailableNow batch → exactly one update row per duplicated
+    * key, which the SQL oracle reproduces with a plain GROUP BY/HAVING. */
+  private def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedEventsDir(dir)
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema).parquet(path)
+    val out = graft.streaming.StreamDedup.duplicateCounts(
+      stream, pmod(col("event_id"), lit(4000)))
+    val sink = s"graft_stream_dedup_${math.abs(path.hashCode)}"
+    s.catalog.dropTempView(sink) // re-runnable within one session
+    val q = out.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy("k")
+  }
+
+  private val streamDedupOracle =
+    """SELECT event_id % 4000 AS k, count(*) AS occurrences
+       FROM events GROUP BY 1 HAVING count(*) > 1 ORDER BY k"""
 
   private val streamOracle =
     """WITH w AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -117,6 +147,7 @@ object ExtQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_verdicts" -> (streamVerdicts _),
+    "s_stream_dedup" -> (streamDedupCounts _),
     "p_multimodal_meta" -> ((s, _) =>
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, MediaRows)).toDF()
         .orderBy("doc_id")),
@@ -127,6 +158,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "s_stream_verdicts" -> streamOracle,
+    "s_stream_dedup" -> streamDedupOracle,
     "p_multimodal_meta" -> multimodalOracle,
     "p_image_meta" -> imageMetaOracle)
 }

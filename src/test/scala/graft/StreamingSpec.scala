@@ -65,4 +65,23 @@ class StreamingSpec extends AnyFunSuite {
     val w1 = rows.filter(r => r._1.startsWith("2026-01-01 00:01") && r._2 == ".n_tok/minimum")
     assert(w1.length == 1 && w1.head._3 == 1 && w1.head._4 == 0)
   }
+
+  test("stateful streaming dedup ledger accumulates counts ACROSS batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val out = graft.streaming.StreamDedup.duplicateCounts(mem.toDF(), col("value"))
+    val q = out.toDF().writeStream.format("memory").queryName("dupled")
+      .outputMode("update").start()
+    mem.addData(1L, 2L, 3L, 1L) // batch 1: key 1 duplicated
+    q.processAllAvailable()
+    mem.addData(2L, 1L)         // batch 2: key 2 now dup, key 1 grows to 3
+    q.processAllAvailable()
+    val rows = spark.table("dupled").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // update-mode emissions: (1,2) from batch 1; (2,2) and (1,3) from
+    // batch 2 — key state PERSISTED between batches
+    assert(rows == Set((1L, 2L), (2L, 2L), (1L, 3L)), rows.toString)
+  }
+
 }
