@@ -120,6 +120,10 @@ object PipelineQueries {
       Dedup.nearDupDropList(docsWithDups(s, dir).where(col("text").isNotNull),
           col("text"), col("doc_id"), threshold = 0.9, hash = Hashing.Md5)
         .orderBy("doc_id")),
+    "p_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardNearDuplicates(docsWithDups(s, dir).where(col("text").isNotNull),
+          col("text"), col("doc_id"), threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
     "p_minhash_dropped_buckets" -> ((s, dir) =>
       Dedup.minhashBucketStats(docsManyDups(s, dir), col("text"), col("doc_id"),
           maxBucket = 8, hash = Hashing.Md5)
@@ -397,6 +401,25 @@ object PipelineQueries {
           comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
           SELECT id AS doc_id, label AS keep_doc_id
           FROM comp WHERE id != label ORDER BY doc_id""",
+    // Oracle is the COMPLETE inverted-index join (all pairs sharing ANY
+    // shingle) — the Spark side's prefix filter claims exactness, so its
+    // output must equal the unfiltered ground truth, not approximate it.
+    "p_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd WHERE text IS NOT NULL),
+          wd AS (SELECT doc_id, $normWords AS words FROM d),
+          shd AS (SELECT doc_id, $shinglesSql AS sh FROM wd),
+          dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM shd),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+          ver AS (SELECT doc_a, doc_b,
+                         len(list_intersect(x.sh, y.sh))::DOUBLE
+                           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+                  FROM cand
+                  JOIN dsh x ON x.doc_id = doc_a
+                  JOIN dsh y ON y.doc_id = doc_b)
+          SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+          FROM ver WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
     "p_minhash_dropped_buckets" ->
       s"""WITH d AS (SELECT doc_id * 100 + g.i AS doc_id, text
                      FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) g

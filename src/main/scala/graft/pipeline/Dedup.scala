@@ -210,6 +210,65 @@ object Dedup {
     jaccardVerifyFromShingles(shf, cands, threshold)
   }
 
+  // -- exact n-gram Jaccard join (prefix-filtered AllPairs) ----------------
+
+  /** EXACT n-gram Jaccard self-join: every pair with shingle-set Jaccard
+    * ≥ `threshold`, no LSH, ZERO false negatives — the exact counterpart to
+    * `nearDuplicates` for when recall must be 1.0 (eval-set decontamination,
+    * licence dedup). Algorithm: prefix filtering (Bayardo et al., "Scaling
+    * Up All Pairs Similarity Search", WWW'07; Xiao et al. PPJoin, WWW'08) —
+    * the reference has no analog; this is the pipeline-operator family the
+    * brief adds on top of it.
+    *
+    * Shape: (1) distinct shingle sets + sizes; (2) global document
+    * frequency of each shingle (one groupBy); (3) each doc's shingles
+    * ordered rarest-first (window row_number over (df, shingle) — a total
+    * order, ties broken lexically); (4) only the first
+    * `|A| - ceil(τ|A|) + 1` shingles (the PREFIX) are emitted to the
+    * inverted index — if J(A,B) ≥ τ the two prefixes MUST share a shingle
+    * under any common total order, so the prefix-prefix equi-join loses no
+    * true pair; (5) a τ-length filter prunes size-incompatible candidates
+    * (J ≥ τ ⇒ τ|A| ≤ |B| ≤ |A|/τ); (6) exact verify via
+    * `jaccardVerifyFromShingles`.
+    *
+    * Scale: the shuffles are the df groupBy, the per-doc window sort, and
+    * the prefix equi-join — all key-partitioned, no all-pairs product.
+    * Rarest-first ordering keeps hot shingles OUT of prefixes, so posting
+    * lists stay short; the join's output is inherently quadratic in a true
+    * duplicate CLIQUE (those pairs all pass verify), so at scale run
+    * `exactDropList` first to collapse identity-duplicates, then this for
+    * the near-dup tail. FP guard: τ·|A| is computed as a double, so the
+    * ceil/filter bounds are relaxed by 1e-9 — never tightened — keeping the
+    * filter conservative (a candidate too many is verified away; one too
+    * few would be a false negative). */
+  def ngramJaccardNearDuplicates(df: DataFrame, text: Column, docId: Column,
+                                 k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val shf = shingleFrame(df, text, docId, k)
+    val cands = ngramPrefixCandidates(shf, threshold)
+    jaccardVerifyFromShingles(shf, cands, threshold)
+  }
+
+  /** Prefix-filtered candidate pairs from a staged shingle frame (exact:
+    * superset of all pairs with J ≥ τ). Exposed for testing/composition. */
+  def ngramPrefixCandidates(shf: DataFrame, threshold: Double): DataFrame = {
+    val ex = shf.select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("set_size"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_df"), col("s"))
+    val prefix = ex.join(dfreq, Seq("s"))
+      .withColumn("_pos", row_number().over(w))
+      .where(col("_pos") <=
+        col("set_size") - ceil(lit(threshold) * col("set_size") - lit(1e-9)) + lit(1))
+      .select(col("s"), col("doc_id"), col("set_size"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.set_size").cast("double") >= lit(threshold) * col("a.set_size") - lit(1e-9) &&
+          col("a.set_size").cast("double") >= lit(threshold) * col("b.set_size") - lit(1e-9))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Connected components over an undirected pair set — the step that turns
     * verified near-dup PAIRS into a dedup DECISION (one kept representative
     * per duplicate cluster). Iterative min-label propagation: each round

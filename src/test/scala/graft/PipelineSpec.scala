@@ -81,6 +81,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(!dups.keySet.exists { case (a, b) => Set(a, b).contains(7L) })
   }
 
+  test("ngram Jaccard join is EXACT: equals brute-force all-pairs at every threshold") {
+    // Corpus engineered so prefix filtering must prune AND must not lose
+    // pairs: clusters of word-substituted variants, exact dups, disjoint
+    // docs, and a doc shorter than the shingle width.
+    val base = "the quick brown fox jumps over the lazy dog and the cat sat on the mat"
+    val variants = (0 until 12).map(i => (100L + i, base.replace("mat", s"mat$i")))
+    val corpus = (docsDf.collect().map(r => (r.getLong(0), r.getString(1))) ++ variants ++
+      Seq((200L, "tiny doc"), (201L, "tiny doc")))
+      .toSeq.toDF("doc_id", "text")
+    val shf = Dedup.shingleFrame(corpus, col("text"), col("doc_id"))
+    val sets = shf.select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
+    val bruteAll = sets.as("a").crossJoin(sets.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (t <- Seq(0.5, 0.7, 0.8, 0.95)) {
+      val got = Dedup.ngramJaccardNearDuplicates(corpus, col("text"), col("doc_id"), threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteAll.filter(_._2 >= t).keySet
+      assert(got == want, s"threshold $t: got ${got.size}, want ${want.size}; " +
+        s"missing ${want -- got}, extra ${got -- want}")
+    }
+    // the prefix index actually prunes: candidates ≪ all pairs, ⊇ true pairs
+    val n = sets.count()
+    val cands = Dedup.ngramPrefixCandidates(shf, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.size < n * (n - 1) / 2)
+    assert(bruteAll.filter(_._2 >= 0.8).keySet.subsetOf(cands))
+  }
+
   test("minhash explode+agg signatures equal the legacy lambda formulation") {
     val shf = Dedup.shingleFrame(docsDf, col("text"), col("doc_id"))
     val fast = Dedup.minhashSignatures(shf, numHashes = 16)
