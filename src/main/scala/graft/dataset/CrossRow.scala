@@ -13,11 +13,13 @@ import graft.run.Validation
   * Validator verdict/violation schemas so they union with row-level results.
   *
   * Scale design:
-  *  - Uniqueness is a SALTED TWO-STAGE count: stage 1 groups on
-  *    (key, salt=input-partition-id) so a hot key contributes at most one
-  *    partial row per input partition; stage 2 sums partials. The duplicate
-  *    set (cnt > 1) is tiny relative to the table, so the join back to rows
-  *    is AQE-broadcastable and skew-safe.
+  *  - Uniqueness is a SALTED TWO-STAGE count: stage 1 computes partial
+  *    counts per (key, salt) where the salt boundary is the input partition
+  *    — a hot key contributes at most one partial row per input partition —
+  *    and stage 2 sums the partials after the one key-hash exchange. See
+  *    `duplicateKeys` for why the salt stage needs NO exchange of its own.
+  *    The duplicate set (cnt > 1) is tiny relative to the table, so the
+  *    join back to rows is AQE-broadcastable and skew-safe.
   *  - Referential integrity is a BROADCAST left-anti join against the
   *    dimension table (small by construction) — no shuffle of the fact side,
   *    immune to hot-value skew.
@@ -32,15 +34,26 @@ object CrossRow {
     * Hash-first: stage 1+2 aggregate on `xxhash64(key)` (8 bytes shuffled
     * per row instead of the full key), then the tiny >1 hash set joins back
     * to real keys and is re-counted EXACTLY — a 64-bit collision can only
-    * send a unique key into the re-check, never corrupt a count. */
+    * send a unique key into the re-check, never corrupt a count.
+    *
+    * Where the SALT lives: the input's file-split partitioning is already a
+    * random partitioning w.r.t. the key — i.e. the salted repartition has
+    * already happened at the scan — so stage 1 (per-salt-group partial
+    * counts) is the HashAggregate PARTIAL mode running inside each input
+    * partition, and stage 2 (sum of partials) is the FINAL mode after the
+    * single exchange on the key hash. A hot key still contributes at most
+    * one pre-counted row per input partition to the exchange — identical
+    * skew safety to an explicit `groupBy(key, salt)` pre-stage. An earlier
+    * formulation materialized the salt as a `spark_partition_id()` column
+    * and paid a second full-data exchange on (key, salt) for groups that
+    * were already partition-local: measured at 10⁷ rows that shape costs
+    * 8.4 s / 663 CPU-s vs 5.1 s / 342 CPU-s for this one, same output
+    * (tools/UniqProbe A/B). */
   def duplicateKeys(df: DataFrame, key: String): DataFrame = {
     val hashed = df.select(col(key), xxhash64(col(key)).as("_kh"))
-    val partial = hashed.select(col("_kh"))
-      .withColumn("_salt", spark_partition_id())
-      .groupBy(col("_kh"), col("_salt"))
-      .agg(count(lit(1)).as("_pc"))
-    val dupHashes = partial.groupBy(col("_kh"))
-      .agg(sum(col("_pc")).as("_hc"))
+    val dupHashes = hashed.select(col("_kh"))
+      .groupBy(col("_kh"))
+      .agg(count(lit(1)).as("_hc"))
       .where(col("_hc") > 1)
       .select(col("_kh"))
     // exact re-count over only the candidate keys (dup set ≪ table; AQE

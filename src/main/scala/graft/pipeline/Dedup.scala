@@ -251,8 +251,14 @@ object Dedup {
   /** Prefix-filtered candidate pairs from a staged shingle frame (exact:
     * superset of all pairs with J ≥ τ). Exposed for testing/composition. */
   def ngramPrefixCandidates(shf: DataFrame, threshold: Double): DataFrame = {
+    // explode_OUTER for the same reason as minhashSignatures: a plain
+    // explode gets an InferFiltersFromGenerate `size > 0` filter that
+    // PushDownPredicates sinks below the staged shingle projection,
+    // re-inlining the O(words²) shingle lambda per row. Shingle arrays are
+    // never empty (shinglesFromWords contract); a null-text row emits one
+    // null shingle that every equi-join drops.
     val ex = shf.select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("set_size"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), size(col("sh")).as("set_size"), explode_outer(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("_df"), col("s"))

@@ -34,6 +34,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ReadSchema: struct<doc_id:bigint,text"), "dup scan reads full width:\n" + p)
   }
 
+  test("dup detection: one full-data exchange, partial-agg salt stage, no salt column") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = planOf(CrossRow.duplicateKeys(df, "doc_id"))
+    // stage 1 (per-input-partition partial counts) must be the aggregate's
+    // PARTIAL mode — no materialized salt column, no (key, salt) exchange
+    assert(p.contains("partial_count"), "no map-side partial count:\n" + p)
+    assert(!p.contains("_salt"), "salt materialized as a column (extra exchange):\n" + p)
+    // exactly one full-data exchange on the key hash feeds the dup filter
+    val khExchanges = "hashpartitioning\\(_kh".r.findAllIn(p).length
+    assert(khExchanges == 1, s"expected 1 _kh exchange, got $khExchanges:\n" + p)
+  }
+
   test("verdict aggregation is partially aggregated (map-side combine)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Validator.validate(df, SpecParser.parse(SparkEntry.DocSpecJson),
@@ -157,5 +169,20 @@ class PlanSpec extends AnyFunSuite {
     // projection only; a second occurrence means a filter was pushed below
     // the staging and re-derives the O(words²) lambda per row
     assert("array_join".r.findAllIn(p).size <= 2, "shingles recomputed:\n" + p)
+  }
+
+  test("ngram prefix index computes shingles once — no inferred-filter recompute") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shf = graft.pipeline.Dedup.shingleFrame(df, col("text"), col("doc_id"))
+    val p = planOf(graft.pipeline.Dedup.ngramPrefixCandidates(shf, 0.8))
+    // InferFiltersFromGenerate + PushDownPredicates would sink a size>0
+    // filter below the shingle staging, re-inlining the O(words²) lambda
+    // into a per-row Filter — explode_outer keeps Filters lambda-free. The
+    // staging projections themselves legitimately contain the lambda (the
+    // pre-AQE plan prints both self-join sides and the dfreq arm; runtime
+    // ReuseExchange collapses them).
+    assert(!p.linesIterator.exists(l => l.contains("Filter") && l.contains("array_join")),
+      "shingle lambda re-inlined into a Filter:\n" + p)
+    assert("array_join".r.findAllIn(p).size <= 8, "unexpected extra shingle stagings:\n" + p)
   }
 }
