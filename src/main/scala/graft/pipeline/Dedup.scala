@@ -243,6 +243,11 @@ object Dedup {
     * few would be a false negative). */
   def ngramJaccardNearDuplicates(df: DataFrame, text: Column, docId: Column,
                                  k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // τ = 0 would make EVERY pair (including fully disjoint ones, which by
+    // definition share no prefix shingle) satisfy J ≥ τ — the prefix-filter
+    // exactness guarantee only holds for τ > 0.
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     val shf = shingleFrame(df, text, docId, k)
     val cands = ngramPrefixCandidates(shf, threshold)
     jaccardVerifyFromShingles(shf, cands, threshold)

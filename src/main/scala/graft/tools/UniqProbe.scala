@@ -2,8 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Scratch: per-stage cost of the uniqueness path at 1e7 rows, plus an A/B
-  * of the salted two-stage vs a single-exchange partial-agg formulation. */
+/** A/B behind `CrossRow.duplicateKeys`' single-exchange rewrite: the
+  * RETIRED explicit-salt formulation (materialized `spark_partition_id()`
+  * column → a (key, salt) exchange for groups that are already
+  * partition-local) vs the shipped form. The retired shape is inlined here
+  * verbatim so the 8.4 s → 5.1 s / 663 → 342 CPU-s claim in
+  * BASELINE.md/NOTES_r3.md stays reproducible after the production code
+  * moved on. */
 object UniqProbe {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
@@ -19,22 +24,28 @@ object UniqProbe {
       println(f"[uniq] $name: ${ts.map(t => f"$t%.2f").mkString(" ")} s")
     }
 
-    // current salted two-stage
+    // RETIRED pre-rewrite shape: explicit salt column, (key, salt) exchange
     stats.reset()
-    time("two-stage salted") {
-      graft.dataset.CrossRow.duplicateKeys(df, "doc_id").count()
-    }
-    println(stats.report(32))
-
-    // A/B: single-exchange hash count (map-side partial agg handles skew for count)
-    stats.reset()
-    time("single-exchange") {
+    time("two-stage salted (retired shape)") {
       val hashed = df.select(col("doc_id"), xxhash64(col("doc_id")).as("_kh"))
-      val dupHashes = hashed.select(col("_kh")).groupBy(col("_kh"))
-        .agg(count(lit(1)).as("_hc")).where(col("_hc") > 1).select(col("_kh"))
+      val partial = hashed.select(col("_kh"))
+        .withColumn("_salt", spark_partition_id())
+        .groupBy(col("_kh"), col("_salt"))
+        .agg(count(lit(1)).as("_pc"))
+      val dupHashes = partial.groupBy(col("_kh"))
+        .agg(sum(col("_pc")).as("_hc"))
+        .where(col("_hc") > 1)
+        .select(col("_kh"))
       hashed.join(dupHashes, Seq("_kh"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 1).count()
+    }
+    println(stats.report(32))
+
+    // shipped single-exchange form (what CrossRow.duplicateKeys compiles to)
+    stats.reset()
+    time("single-exchange (shipped)") {
+      graft.dataset.CrossRow.duplicateKeys(df, "doc_id").count()
     }
     println(stats.report(32))
     spark.stop()

@@ -111,6 +111,12 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.size < n * (n - 1) / 2)
     assert(bruteAll.filter(_._2 >= 0.8).keySet.subsetOf(cands))
+    // τ = 0 voids the prefix-filter exactness guarantee (disjoint pairs
+    // satisfy J ≥ 0 but share no shingle) — must be rejected at the API
+    for (bad <- Seq(0.0, -0.1, 1.5))
+      intercept[IllegalArgumentException] {
+        Dedup.ngramJaccardNearDuplicates(corpus, col("text"), col("doc_id"), threshold = bad)
+      }
   }
 
   test("minhash explode+agg signatures equal the legacy lambda formulation") {
