@@ -80,13 +80,29 @@ object CrossRow {
       StructType(Seq(StructField("part", StringType), StructField("total", LongType))))
   }
 
-  /** Validation frames for "every `key` value occurs exactly once". */
+  /** Validation frames for "every `key` value occurs exactly once".
+    *
+    * `checkpointDups` is the DEGENERATE-dup-set escape hatch: normally the
+    * dup set is ≪ table and AQE broadcasts the join-back, but if most keys
+    * are duplicated (table-scale dup set, broadcast impossible) the join-back
+    * becomes a shuffled join where a hot key lands all its rows in one
+    * partition — and AQE's OptimizeSkewedJoin CANNOT split it, because the
+    * dup side's final HashAggregate sits between the join's Sort and the
+    * shuffle read (the rule only matches plain Sort→ShuffleRead on BOTH
+    * sides: replicating a partition of an un-materialized aggregate has no
+    * shuffle to re-read from). Eagerly checkpointing the dup frame makes the
+    * join-back a plain shuffle↔shuffle join, which AQE then skew-splits
+    * (gated in PlanSpec). Off by default — in the normal regime it would
+    * cost an extra materialization for a frame the broadcast path never
+    * shuffles. */
   def uniqueness(df: DataFrame, key: String = "doc_id",
                  part: String = "part", rank: Int = BaseRank,
-                 totals: Option[DataFrame] = None): Validation = {
+                 totals: Option[DataFrame] = None,
+                 checkpointDups: Boolean = false): Validation = {
     val id = s"dataset/unique:$key"
     val message = s"""Expected "$key" values to be unique across the dataset"""
-    val dups = duplicateKeys(df, key)
+    val dups0 = duplicateKeys(df, key)
+    val dups = if (checkpointDups) dups0.localCheckpoint() else dups0
 
     val violations = df.select(col(part).as("part"), col(key))
       .join(dups, Seq(key)) // dup set is small → AQE broadcasts it

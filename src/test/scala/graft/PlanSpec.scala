@@ -161,6 +161,37 @@ class PlanSpec extends AnyFunSuite {
     gate(graft.pipeline.Dedup.embeddingNearDups(emb, col("embedding"), col("vec_id"), d))
   }
 
+  test("uniqueness join-back: AQE splits the hot-key partition when the dup set can't broadcast") {
+    // North-rule skew clause. The dup→row join-back normally broadcasts (dup
+    // set ≪ table); in the degenerate case — table-scale dup set, broadcast
+    // impossible — it becomes a shuffled join keyed on doc_id, and a hot key
+    // (SequenceGen plants 1% on 3 hot ids; here 1/3 on one) lands all its
+    // rows in one shuffle partition. With checkpointDups=true (the
+    // documented mitigation — OptimizeSkewedJoin cannot split through the
+    // dup side's in-plan final aggregate, see CrossRow.uniqueness scaladoc)
+    // AQE must split that partition; SortMergeJoin then prints skew=true in
+    // the FINAL adaptive plan (the initial plan never shows it).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    // every key is a dup; 1/3 of rows share ONE hot key. `part` is
+    // high-entropy so the hot shuffle partition's bytes can't compress away
+    // below the skew threshold (skew detection reads compressed map sizes).
+    val df = s.range(200000).selectExpr(
+      "CASE WHEN id % 3 = 0 THEN 'hot' ELSE concat('k', id % 50000) END AS doc_id",
+      "md5(cast(id AS string)) AS part")
+    val v = CrossRow.uniqueness(df, "doc_id", "part", checkpointDups = true)
+    // collect() runs THIS frame's QueryExecution (count() would spawn a
+    // fresh one and leave this plan un-finalized)
+    assert(v.violations.collect().length > 0)
+    val p = planOf(v.violations) // executed → final adaptive plan
+    assert(p.contains("skew=true"), "hot-key partition was not skew-split:\n" + p)
+  }
+
   test("minhash signature stage computes shingles once — no inferred-filter recompute") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val shf = graft.pipeline.Dedup.shingleFrame(df, col("text"), col("doc_id"))
