@@ -56,6 +56,18 @@ object PipelineQueries {
       customers.join(orders, customers("c_custkey") === orders("o_custkey"), "left_anti")
         .select(col("c_custkey")).orderBy("c_custkey")
     }),
+    "x_referential_large" -> ((s, dir) => {
+      // same orphan semantics through the LARGE-DIM strategy: dim =
+      // customers minus custkeys ≡ 3 (mod 10), facts = all orders; the
+      // ~10% of orders referencing a removed customer are violations
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("part", col("o_orderpriority"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .where(pmod(col("c_custkey"), lit(10)) =!= 3)
+      CrossRow.referentialLargeDim(orders, "o_custkey", dim, "c_custkey",
+          docId = "o_orderkey")
+        .violations.orderBy("doc_id")
+    }),
     "x_drift_documents" -> ((s, dir) =>
       Drift.divergence(docs(s, dir), col("lang"), part = "source")
         .select(col("part"), round(col("kl"), 3).as("kl"), round(col("psi"), 3).as("psi"),
@@ -337,6 +349,18 @@ object PipelineQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_custkey % 10 != 3)
          ORDER BY c_custkey""",
+    "x_referential_large" ->
+      """SELECT o_orderpriority AS part,
+                CAST(o_orderkey AS VARCHAR) AS doc_id,
+                1001 AS rank,
+                'dataset/referential:o_custkey' AS constraint_id,
+                '.o_custkey' AS path,
+                CAST(o_custkey AS VARCHAR) AS observed,
+                'Expected "o_custkey" to reference a value in the dimension table' AS message
+         FROM orders
+         WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 != 3)
+         ORDER BY doc_id""",
     "x_drift_documents" ->
       """WITH h AS (SELECT source AS part, lang AS bucket, count(*)::DOUBLE AS c
                     FROM documents GROUP BY 1, 2),

@@ -139,6 +139,43 @@ object CrossRow {
       violations, rank, id), violations)
   }
 
+  /** FK check for dimension tables TOO LARGE to broadcast (`referential`'s
+    * contract, different physical strategy). At 100 TB a registry-sized dim
+    * can exceed any broadcast threshold, and the naive shuffled anti-join
+    * would exchange the FULL fact table on the FK. The FK DOMAIN, however,
+    * is ≪ the fact row count (enum-like columns: sources, shards, tenants) —
+    * so: (1) aggregate the fact side to its distinct FK values (map-side
+    * partial distinct → the one fact-derived exchange carries only distinct
+    * keys per input partition, skew-immune the same way `duplicateKeys`' salt
+    * stage is); (2) shuffled LEFT ANTI of that tiny key set against the dim —
+    * total shuffle volume |FK domain| + |dim|, never |fact|; (3) broadcast
+    * the orphan-key result (⊆ FK domain) back onto the fact rows to emit
+    * violation rows without shuffling the fact side at all.
+    *
+    * Output is row-for-row identical to `referential` (spec-gated); nulls are
+    * likewise not FK violations. */
+  def referentialLargeDim(df: DataFrame, column: String, dim: DataFrame, dimCol: String,
+                          docId: String = "doc_id", part: String = "part",
+                          rank: Int = BaseRank + 1,
+                          totals: Option[DataFrame] = None): Validation = {
+    val id = s"dataset/referential:$column"
+    val message = s"""Expected "$column" to reference a value in the dimension table"""
+    val fact = df.select(col(part).as("part"), col(docId).cast(StringType).as("doc_id"),
+                         col(column))
+      .where(col(column).isNotNull)
+    val orphanKeys = fact.select(col(column)).distinct
+      .join(dim.select(col(dimCol).as(column)), Seq(column), "left_anti")
+    val violations = fact.join(broadcast(orphanKeys), Seq(column))
+      .select(
+        col("part"), col("doc_id"),
+        lit(rank).as("rank"), lit(id).as("constraint_id"),
+        lit(s".$column").as("path"), col(column).cast(StringType).as("observed"),
+        lit(message).as("message"))
+
+    Validation(verdictsFromViolations(totals.getOrElse(partTotals(df, part)),
+      violations, rank, id), violations)
+  }
+
   /** Row-level cross-field consistency as a pluggable CompiledCheck, e.g.
     * `consistency("n_tok=size(tokens)", col("n_tok") === size(col("tokens")),
     * col("n_tok"))` — runs in the same single pass as spec checks. */

@@ -74,6 +74,18 @@ class CrossRowSpec extends AnyFunSuite {
     assert(v.violations.count() == expected)
   }
 
+  test("referentialLargeDim is row-for-row identical to the broadcast referential") {
+    // same contract, different physical strategy (distinct-FK anti-join for
+    // dims too big to broadcast) — outputs must be indistinguishable
+    val a = CrossRow.referential(seqs, "source", dim, "source")
+    val b = CrossRow.referentialLargeDim(seqs, "source", dim, "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(a.violations) == rows(b.violations))
+    assert(rows(a.verdicts) == rows(b.verdicts))
+    assert(b.violations.count() == seqs.where(col("source") === "spam").count())
+  }
+
   test("consistency check flags n_tok != size(tokens) rows in the row pass") {
     val check = CrossRow.consistency("n_tok=size(tokens)",
       col("n_tok") === size(col("tokens")), col("n_tok"))

@@ -66,6 +66,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("referentialLargeDim never shuffles fact rows even when the dim can't broadcast") {
+    // emulate a registry-sized dim: no automatic broadcast anywhere. The
+    // only exchanges allowed are keyed on the FK column (fact-side distinct
+    // partial-agg output + dim side of the anti-join); fact rows reach the
+    // violation output through the broadcast-hinted orphan-set join only.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("part", col("lang"))
+    val dim = graft.data.SequenceGen.dimSources(s)
+    val v = CrossRow.referentialLargeDim(df, "source", dim, "source")
+    val p = planOf(v.violations)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("source#")),
+      "exchange not keyed on the FK column:\n" + p)
+    assert(!p.contains("doc_id#") || !exchanges.exists(_.contains("doc_id#")),
+      "fact rows shuffled:\n" + p)
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty && anti.forall(l => !l.contains("Broadcast")),
+      "anti-join must be the shuffled form (dim too big to broadcast):\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "orphan set not broadcast back to fact rows:\n" + p)
+    // partial distinct on the fact side: partial + final aggregate pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("row checks compile to a single scan with zero shuffles before the verdict agg") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Validator.validate(df, SpecParser.parse(SparkEntry.DocSpecJson),
