@@ -14,6 +14,7 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   case class Ev(doc_id: String, n_tok: Int, source: String, ts: java.sql.Timestamp)
+  case class KEv(k: Long, ts: java.sql.Timestamp)
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
@@ -82,6 +83,33 @@ class StreamingSpec extends AnyFunSuite {
     // update-mode emissions: (1,2) from batch 1; (2,2) and (1,3) from
     // batch 2 — key state PERSISTED between batches
     assert(rows == Set((1L, 2L), (2L, 2L), (1L, 3L)), rows.toString)
+  }
+
+  test("watermark-bounded dedup ledger frees expired key state (event-time timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KEv]
+    val out = graft.streaming.StreamDedup.duplicateCountsWithinWatermark(
+      mem.toDF(), col("k"), col("ts"), ttlMs = 30000L)
+    val q = out.toDF().writeStream.format("memory").queryName("dupwm")
+      .outputMode("update").start()
+    // B1: key 1 duplicated → (1,2); timeouts armed at last-seen + 30 s
+    mem.addData(KEv(1, ts("2026-01-01 00:00:00")), KEv(1, ts("2026-01-01 00:00:05")),
+                KEv(2, ts("2026-01-01 00:00:10")))
+    q.processAllAvailable()
+    // B2 advances the watermark PAST the timeouts (wm updates at batch end);
+    // B3 is where the engine actually fires them and frees keys 1 and 2
+    mem.addData(KEv(8, ts("2026-01-01 00:01:00")))
+    q.processAllAvailable()
+    mem.addData(KEv(9, ts("2026-01-01 00:01:30")))
+    q.processAllAvailable()
+    // B4: key 1 re-appears AFTER expiry — fresh state, so the pair counts
+    // from 1 again and emits (1,2); surviving state would have emitted (1,3)
+    mem.addData(KEv(1, ts("2026-01-01 00:02:00")), KEv(1, ts("2026-01-01 00:02:05")))
+    q.processAllAvailable()
+    val rows = spark.table("dupwm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    q.stop()
+    assert(rows == Seq((1L, 2L), (1L, 2L)), rows.toString)
   }
 
 }
