@@ -27,6 +27,25 @@ object Queries {
       .violations.drop("rank").drop("part")
       .repartition(1).sortWithinPartitions("constraint_id", "doc_id")
 
+  /** The SAME flagship spec built through the fluent DSL instead of parsed
+    * JSON — driver-gated proof the two spec front-ends compile to identical
+    * checks (messages, paths, ordering): the oracle is
+    * `v_documents_violations`' SQL verbatim, so any DSL↔JSON divergence is a
+    * hash mismatch. */
+  def documentViolationsFluent(s: SparkSession, dir: String): DataFrame = {
+    import graft.spec.Fluent._
+    val spec = obj
+      .required("doc_id", "text", "source")
+      .prop("doc_id", int.min(0))
+      .prop("text", str.minLength(1))
+      .prop("lang", str.enum("en", "de", "fr", "es"))
+      .prop("source", str.pattern("^src[0-9]+$"))
+      .prop("n_chars", int.min(0).max(500))
+    Validator.validate(docs(s, dir), spec, docId = "doc_id", part = None)
+      .violations.drop("rank").drop("part")
+      .repartition(1).sortWithinPartitions("constraint_id", "doc_id")
+  }
+
   /** Classic aggregation sanity query (map-side partial agg + tiny shuffle). */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
@@ -40,6 +59,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_documents_verdicts" -> (documentVerdicts _),
     "v_documents_violations" -> (documentViolations _),
+    "v_documents_fluent" -> (documentViolationsFluent _),
     "q1_agg" -> (q1Agg _)
   ) ++ PipelineQueries.all ++ KeywordQueries.all ++ SuiteQueries.all ++ ExtQueries.all ++ TypedKeywordQueries.all
 
@@ -62,7 +82,15 @@ object Queries {
          SELECT 'all' AS part, constraint_id, (SELECT count(*) FROM d) AS total,
                 violations, violations = 0 AS pass
          FROM c ORDER BY constraint_id""",
-    "v_documents_violations" ->
+    "v_documents_violations" -> DocViolationsSql,
+    // the fluent-DSL twin must be indistinguishable from the parsed-JSON one
+    "v_documents_fluent" -> DocViolationsSql,
+    "q1_agg" -> Q1AggSql,
+  )
+
+  // both lazy: referenced from `oracles` ABOVE their declaration — a plain
+  // val would still be null when the object initializer builds the map
+  private lazy val DocViolationsSql: String =
       """SELECT doc_id, constraint_id, path, observed, message FROM (
            SELECT doc_id, './required:doc_id' AS constraint_id, '.' AS path, CAST(NULL AS VARCHAR) AS observed,
                   'Expected required property "doc_id" to be set' AS message
@@ -99,12 +127,12 @@ object Queries {
            SELECT doc_id, '.n_chars/maximum', '.n_chars', CAST(n_chars AS VARCHAR),
                   'Expected numeric value be less than or equal to 500'
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
-         ) ORDER BY constraint_id, doc_id""",
-    "q1_agg" ->
+         ) ORDER BY constraint_id, doc_id"""
+
+  private lazy val Q1AggSql: String =
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,
                 sum(l_extendedprice * (1 - l_discount)) AS revenue,
                 count(*) AS n_rows
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
-  )
 }
