@@ -46,6 +46,28 @@ object Queries {
       .repartition(1).sortWithinPartitions("constraint_id", "doc_id")
   }
 
+  /** The flagship spec compiled under a SWAPPED i18n table — driver-gated
+    * proof of the `set_lang` analog (reference i18n.cr:87-117): one fixed
+    * string and one interpolated entry overridden, every other id falling
+    * back to EN_US. Messages bake into literal Columns at compile time, so
+    * the swap brackets only the compile; the oracle is the EN SQL with the
+    * two literals substituted — wrong fallback or interpolation is a hash
+    * mismatch. */
+  def documentViolationsI18n(s: SparkSession, dir: String): DataFrame = {
+    import graft.compile.I18n
+    I18n.setLang(Map[Int, I18n.Entry](
+      10 -> Left(I18nEnumMsg),
+      43 -> Right(a => s"La cadena no coincide con /${a(0)}/")))
+    try
+      Validator.validate(docs(s, dir), SpecParser.parse(SparkEntry.DocSpecJson),
+          docId = "doc_id", part = None)
+        .violations.drop("rank").drop("part")
+        .repartition(1).sortWithinPartitions("constraint_id", "doc_id")
+    finally I18n.reset()
+  }
+
+  private val I18nEnumMsg = "Valor fuera del enum"
+
   /** Classic aggregation sanity query (map-side partial agg + tiny shuffle). */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
@@ -60,6 +82,7 @@ object Queries {
     "v_documents_verdicts" -> (documentVerdicts _),
     "v_documents_violations" -> (documentViolations _),
     "v_documents_fluent" -> (documentViolationsFluent _),
+    "v_documents_i18n" -> (documentViolationsI18n _),
     "q1_agg" -> (q1Agg _)
   ) ++ PipelineQueries.all ++ KeywordQueries.all ++ SuiteQueries.all ++ ExtQueries.all ++ TypedKeywordQueries.all
 
@@ -85,6 +108,11 @@ object Queries {
     "v_documents_violations" -> DocViolationsSql,
     // the fluent-DSL twin must be indistinguishable from the parsed-JSON one
     "v_documents_fluent" -> DocViolationsSql,
+    // EN oracle with exactly the two swapped literals substituted
+    "v_documents_i18n" -> DocViolationsSql
+      .replace("Expected value to be equal to the enum", I18nEnumMsg)
+      .replace("Expected string to match pattern /^src[0-9]+$/",
+               "La cadena no coincide con /^src[0-9]+$/"),
     "q1_agg" -> Q1AggSql,
   )
 
