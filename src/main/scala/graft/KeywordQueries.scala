@@ -246,6 +246,28 @@ object KeywordQueries {
     (10, ".rjp/format", ".rjp", "x/foo", Messages.format("relative-json-pointer")),
     (11, ".ur/format", ".ur", "not a uri", Messages.format("uri"))))
 
+  // -- format:"regex" — validity is "compiles as a regex", which no regex
+  //    can itself express: the compilers' ONE UDF path (Formats.regexCompiles,
+  //    opt-in per spec). The oracle cannot try-compile either — instead the
+  //    FIXTURES fix which strings are valid (generator-contract oracle, like
+  //    p_image_meta), so the UDF must agree with Pattern.compile to MATCH. --
+
+  private val formatRegexSpec =
+    """{"type":"object","properties":{"r":{"type":"string","format":"regex"}}}"""
+
+  private val formatRegexFixtures = Seq(
+    """{"r":"^a+b$"}""",       // 0: pass
+    """{"r":"a["}""",          // 1: unclosed character class
+    """{"r":"(unclosed"}""",   // 2: unclosed group
+    """{"r":"[a-z]{2,3}"}""",  // 3: pass
+    """{"r":"*abc"}""",        // 4: dangling quantifier
+    """{"r":"x\\d+"}""")       // 5: pass (JSON-escaped backslash → x\d+)
+
+  private val formatRegexOracle = oracle(6, Seq(
+    (1, ".r/format", ".r", "a[", Messages.format("regex")),
+    (2, ".r/format", ".r", "(unclosed", Messages.format("regex")),
+    (4, ".r/format", ".r", "*abc", Messages.format("regex"))))
+
   // -- composites + null/boolean type gates ----------------------------------
 
   private val genericSpec =
@@ -288,6 +310,7 @@ object KeywordQueries {
     "v_kw_array" -> ((s, dir) => run(s, dir, arraySpec, arrayFixtures)),
     "v_kw_numstr" -> ((s, dir) => run(s, dir, numstrSpec, numstrFixtures)),
     "v_kw_formats" -> ((s, dir) => run(s, dir, formatsSpec, formatsFixtures)),
+    "v_kw_format_regex" -> ((s, dir) => run(s, dir, formatRegexSpec, formatRegexFixtures)),
     "v_kw_generic" -> ((s, dir) => run(s, dir, genericSpec, genericFixtures)))
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +319,6 @@ object KeywordQueries {
     "v_kw_array" -> arrayOracle,
     "v_kw_numstr" -> numstrOracle,
     "v_kw_formats" -> formatsOracle,
+    "v_kw_format_regex" -> formatRegexOracle,
     "v_kw_generic" -> genericOracle)
 }
