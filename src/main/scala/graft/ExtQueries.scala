@@ -124,11 +124,13 @@ object ExtQueries {
   private val MediaRows = 5000L
   private val ImageRows = 2000L
 
-  /** The REAL-codec arm (VERDICT r2 #6): genuine PNG bytes round-trip
-    * through javax.imageio on the Spark side; the oracle predicts the
-    * decoded dimensions purely from the generator contract (w = 8 + id mod
-    * 32, h = 8 + ⌊id/7⌋ mod 32). n_bytes is excluded — PNG encoding size is
-    * codec-internal, not contract-predictable. */
+  /** The REAL-codec arm (VERDICT r2 #6): genuine PNG (even ids) / JPEG
+    * (odd ids) bytes round-trip through javax.imageio on the Spark side —
+    * both magic-dispatch branches run; the oracle predicts the decoded
+    * dimensions purely from the generator contract (w = 8 + id mod 32,
+    * h = 8 + ⌊id/7⌋ mod 32; JPEG is lossy in pixels, never in dimensions).
+    * n_bytes is excluded — encoded size is codec-internal, not
+    * contract-predictable. */
   private val imageMetaOracle =
     s"""SELECT id AS doc_id, 'image' AS media_type,
               (8 + id % 32)::INT AS width,
@@ -152,7 +154,7 @@ object ExtQueries {
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, MediaRows)).toDF()
         .orderBy("doc_id")),
     "p_image_meta" -> ((s, _) =>
-      Multimodal.decodeMeta(Multimodal.syntheticPngImages(s, ImageRows)).toDF()
+      Multimodal.decodeMeta(Multimodal.syntheticImages(s, ImageRows)).toDF()
         .select("doc_id", "media_type", "width", "height", "n_frames")
         .orderBy("doc_id")))
 

@@ -106,12 +106,14 @@ object Multimodal {
     }
   }
 
-  /** REAL PNG rows: deterministic pixels encoded by ImageIO into genuine
-    * PNG bytes. Width/height follow a SQL-expressible contract
-    * (w = 8 + id mod 32, h = 8 + ⌊id/7⌋ mod 32) so a DuckDB oracle predicts
-    * the DECODED metadata without a codec — the Spark side must really
-    * parse the PNG to agree. */
-  def syntheticPngImages(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+  /** REAL image rows: deterministic pixels encoded by ImageIO into genuine
+    * PNG (even ids) / JPEG (odd ids) bytes, so BOTH magic-dispatch branches
+    * and codecs run. Width/height follow a SQL-expressible contract
+    * (w = 8 + id mod 32, h = 8 + ⌊id/7⌋ mod 32) — dimensions survive JPEG's
+    * lossy pixel encoding untouched — so a DuckDB oracle predicts the
+    * DECODED metadata without a codec; the Spark side must really parse the
+    * container to agree. */
+  def syntheticImages(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val w = (8 + id % 32).toInt
@@ -125,7 +127,7 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "jpg", bos)
       MediaRow(id, "image", bos.toByteArray)
     }
   }
