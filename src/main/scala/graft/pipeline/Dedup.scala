@@ -346,20 +346,25 @@ object Dedup {
     labels
   }
 
+  /** Pairs → dedup DECISION, generic over the pair generator: any
+    * (doc_a, doc_b) frame (`nearDuplicates`, `simhashNearDuplicates`,
+    * `embeddingNearDups`, `ngramJaccardNearDuplicates`) collapses to rows
+    * to DROP — everything but the min-id representative of each duplicate
+    * cluster. Returns (doc_id, keep_doc_id); keep ids are never themselves
+    * dropped (connectedComponents throws on non-convergence). */
+  def dropListFromPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), col("label").as("keep_doc_id"))
+
   /** Full near-dedup decision: MinHash candidates → exact Jaccard verify →
-    * connected components → rows to DROP (everything but the min-id
-    * representative of each duplicate cluster). Returns
-    * (doc_id, keep_doc_id). */
+    * connected components → drop list. Returns (doc_id, keep_doc_id). */
   def nearDupDropList(df: DataFrame, text: Column, docId: Column,
                       bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
                       threshold: Double = 0.7, maxBucket: Int = 64,
-                      hash: HashFamily = Hashing.Xx): DataFrame = {
-    val pairs = nearDuplicates(df, text, docId, bands, rowsPerBand, k,
-      threshold, maxBucket, hash)
-    connectedComponents(pairs)
-      .where(col("id") =!= col("label"))
-      .select(col("id").as("doc_id"), col("label").as("keep_doc_id"))
-  }
+                      hash: HashFamily = Hashing.Xx): DataFrame =
+    dropListFromPairs(nearDuplicates(df, text, docId, bands, rowsPerBand, k,
+      threshold, maxBucket, hash))
 
   // -- SimHash -------------------------------------------------------------
 

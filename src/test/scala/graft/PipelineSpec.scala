@@ -119,6 +119,18 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("dropListFromPairs is generic: exact ngram pairs collapse to the same decision as LSH") {
+    val pairs = Dedup.ngramJaccardNearDuplicates(docsDf, col("text"), col("doc_id"),
+      threshold = 0.5)
+    val drop = Dedup.dropListFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drop == Map(2L -> 1L, 8L -> 1L)) // cluster {1,2,8} keeps min id 1
+    assert(drop.keySet.intersect(drop.values.toSet).isEmpty) // keep ∉ dropped
+    val lsh = Dedup.nearDupDropList(docsDf, col("text"), col("doc_id"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drop == lsh)
+  }
+
   test("minhash explode+agg signatures equal the legacy lambda formulation") {
     val shf = Dedup.shingleFrame(docsDf, col("text"), col("doc_id"))
     val fast = Dedup.minhashSignatures(shf, numHashes = 16)
