@@ -159,6 +159,21 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "p_embedding_drop_list" -> ((s, dir) => {
+      // the generic dropListFromPairs over the EMBEDDING pair generator:
+      // planted exact-copy vector (7 → 1000007) guarantees a cluster whose
+      // min-id representative must survive
+      val e = emb(s, dir)
+      val planted = e.unionByName(
+        e.where(col("vec_id") === 7)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
+      Dedup.dropListFromPairs(
+          Dedup.embeddingNearDups(planted, col("embedding"), col("vec_id"),
+              dim = 64, threshold = 0.9999)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .orderBy("doc_id")
+    }),
+
     // -- text analysis ------------------------------------------------------
     "p_token_counts" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -501,6 +516,37 @@ object PipelineQueries {
                     WHERE bs.c BETWEEN 2 AND 256)
           SELECT DISTINCT id_a, id_b, round(cos, 4) AS cos
           FROM pairs WHERE cos >= 0.9999 ORDER BY id_a, id_b""",
+    // same LSH-bucketed pair derivation as p_embedding_neardups, closed
+    // transitively by the recursive CTE (the p_neardup_drop_list pattern)
+    "p_embedding_drop_list" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          all_e AS (SELECT * FROM e
+                    UNION ALL
+                    SELECT vec_id + 1000000, v FROM e WHERE vec_id = 7),
+          pl(p, plane) AS (VALUES $hyperplanesSqlValues),
+          b AS (SELECT vec_id,
+                       sum(CASE WHEN list_dot_product(v, plane) > 0
+                                THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+                FROM all_e CROSS JOIN pl GROUP BY vec_id),
+          bv AS (SELECT b.vec_id, b.bucket, e2.v
+                 FROM b JOIN all_e e2 ON e2.vec_id = b.vec_id),
+          bs AS (SELECT bucket, count(*) AS c FROM bv GROUP BY 1),
+          prs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                  FROM bv x
+                  JOIN bv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                  JOIN bs ON bs.bucket = x.bucket
+                  WHERE bs.c BETWEEN 2 AND 256
+                    AND ${cosSql("x.v", "y.v")} >= 0.9999),
+          ed AS (SELECT id_a AS a, id_b AS b FROM prs
+                 UNION ALL SELECT id_b, id_a FROM prs),
+          nodes AS (SELECT DISTINCT a AS id FROM ed),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT ed.a, reach.r FROM reach JOIN ed ON ed.b = reach.id),
+          comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+          SELECT id AS doc_id, label AS keep_doc_id
+          FROM comp WHERE id != label ORDER BY doc_id""",
     "p_token_counts" ->
       s"""SELECT doc_id, $wsTokSql AS ws_tokens, $bpeTokSql AS bpe_tokens
           FROM documents ORDER BY doc_id""",
