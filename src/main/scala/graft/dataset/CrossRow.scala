@@ -80,37 +80,81 @@ object CrossRow {
       StructType(Seq(StructField("part", StringType), StructField("total", LongType))))
   }
 
+  /** Candidate rows for the uniqueness check: every (part, key) row whose
+    * key HASH occurs more than once — i.e. the exact-recount input and the
+    * violation rows in one fetch. Derivation shares `duplicateKeys`' shape
+    * (8 B/row detection exchange, then one row-fetch scan probing the
+    * broadcast dup-hash set); output is dup-set-sized ≪ table. Exposed
+    * un-checkpointed so PlanSpec can gate pruning + the single `_kh`
+    * exchange on the real build plan. */
+  private[graft] def dupCandidates(df: DataFrame, key: String, part: String): DataFrame = {
+    val hashed = df.select(col(part).as("part"), col(key), xxhash64(col(key)).as("_kh"))
+    val dupHashes = hashed.select(col("_kh"))
+      .groupBy(col("_kh"))
+      .agg(count(lit(1)).as("_hc"))
+      .where(col("_hc") > 1)
+      .select(col("_kh"))
+    hashed.join(dupHashes, Seq("_kh")).select(col("part"), col(key))
+  }
+
   /** Validation frames for "every `key` value occurs exactly once".
     *
-    * `checkpointDups` is the DEGENERATE-dup-set escape hatch: normally the
-    * dup set is ≪ table and AQE broadcasts the join-back, but if most keys
-    * are duplicated (table-scale dup set, broadcast impossible) the join-back
-    * becomes a shuffled join where a hot key lands all its rows in one
-    * partition — and AQE's OptimizeSkewedJoin CANNOT split it, because the
-    * dup side's final HashAggregate sits between the join's Sort and the
-    * shuffle read (the rule only matches plain Sort→ShuffleRead on BOTH
-    * sides: replicating a partition of an un-materialized aggregate has no
-    * shuffle to re-read from). Eagerly checkpointing the dup frame makes the
-    * join-back a plain shuffle↔shuffle join, which AQE then skew-splits
-    * (gated in PlanSpec). Off by default — in the normal regime it would
-    * cost an extra materialization for a frame the broadcast path never
-    * shuffles. */
+    * Normal regime (dup set ≪ table): the exact re-count and the violation
+    * join-back are FUSED into one candidate-row fetch (`dupCandidates`) —
+    * two input scans total (hash detection + row fetch) instead of three,
+    * and the fetch is lazily `localCheckpoint`ed, so the verdicts and
+    * violations actions both re-read the tiny materialized candidate frame
+    * instead of re-running the detection pipeline from the source scan
+    * (checkpoint blocks are freed by the ContextCleaner when the frame is
+    * GC'd). Exactness is unchanged: candidates are keyed by 64-bit-hash
+    * membership, then `groupBy(key)` re-counts REAL keys — a collision can
+    * only send a unique key into the re-check (filtered by `cnt > 1`),
+    * never corrupt a count.
+    *
+    * `checkpointDups` is the DEGENERATE-dup-set escape hatch: if most keys
+    * are duplicated (table-scale dup set) the candidate frame is table-scale
+    * too — materializing it would be the bug — so this path keeps the
+    * unfused shape: eagerly checkpoint only the dup KEY set and join it back
+    * to the full input. That join-back is a shuffled join where a hot key
+    * lands all its rows in one partition — and AQE's OptimizeSkewedJoin
+    * CANNOT split it as-built, because the dup side's final HashAggregate
+    * sits between the join's Sort and the shuffle read (the rule only
+    * matches plain Sort→ShuffleRead on BOTH sides: replicating a partition
+    * of an un-materialized aggregate has no shuffle to re-read from).
+    * Eagerly checkpointing the dup frame makes the join-back a plain
+    * shuffle↔shuffle join, which AQE then skew-splits (gated in PlanSpec).
+    * Off by default — in the normal regime it would cost an extra
+    * materialization for a frame the broadcast path never shuffles. */
   def uniqueness(df: DataFrame, key: String = "doc_id",
                  part: String = "part", rank: Int = BaseRank,
                  totals: Option[DataFrame] = None,
                  checkpointDups: Boolean = false): Validation = {
     val id = s"dataset/unique:$key"
     val message = s"""Expected "$key" values to be unique across the dataset"""
-    val dups0 = duplicateKeys(df, key)
-    val dups = if (checkpointDups) dups0.localCheckpoint() else dups0
 
-    val violations = df.select(col(part).as("part"), col(key))
-      .join(dups, Seq(key)) // dup set is small → AQE broadcasts it
-      .select(
-        col("part"), col(key).cast(StringType).as("doc_id"),
-        lit(rank).as("rank"), lit(id).as("constraint_id"),
-        lit(s".$key").as("path"), col("cnt").cast(StringType).as("observed"),
-        lit(message).as("message"))
+    val violations =
+      if (checkpointDups) {
+        val dups = duplicateKeys(df, key).localCheckpoint()
+        df.select(col(part).as("part"), col(key))
+          .join(dups, Seq(key))
+          .select(
+            col("part"), col(key).cast(StringType).as("doc_id"),
+            lit(rank).as("rank"), lit(id).as("constraint_id"),
+            lit(s".$key").as("path"), col("cnt").cast(StringType).as("observed"),
+            lit(message).as("message"))
+      } else {
+        val candidates = dupCandidates(df, key, part)
+          .localCheckpoint(false) // lazy: materializes on the first action
+        val dups = candidates.groupBy(col(key))
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") > 1)
+        candidates.join(dups, Seq(key)) // both sides tiny → AQE broadcasts
+          .select(
+            col("part"), col(key).cast(StringType).as("doc_id"),
+            lit(rank).as("rank"), lit(id).as("constraint_id"),
+            lit(s".$key").as("path"), col("cnt").cast(StringType).as("observed"),
+            lit(message).as("message"))
+      }
 
     Validation(verdictsFromViolations(totals.getOrElse(partTotals(df, part)),
       violations, rank, id), violations)

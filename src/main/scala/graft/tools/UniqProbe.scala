@@ -48,6 +48,32 @@ object UniqProbe {
       graft.dataset.CrossRow.duplicateKeys(df, "doc_id").count()
     }
     println(stats.report(32))
+
+    // -- second pair: the r3 late-round verdict-path fusion -----------------
+    // RETIRED unfused uniqueness: detection + exact recount + a THIRD scan
+    // joining the dup key set back to the rows (what `uniqueness` compiled
+    // to before dupCandidates). Interleaved with the shipped fused form;
+    // fresh frames per rep so the fused path pays its localCheckpoint.
+    def retiredVerdicts(): Unit = {
+      val dups = graft.dataset.CrossRow.duplicateKeys(df, "doc_id")
+      val violations = df.select(col("part"), col("doc_id")).join(dups, Seq("doc_id"))
+      graft.dataset.CrossRow.verdictsFromViolations(
+          graft.dataset.CrossRow.partTotals(df, "part"), violations,
+          1000, "dataset/unique:doc_id")
+        .agg(sum(col("violations"))).collect()
+    }
+    def shippedVerdicts(): Unit = {
+      graft.dataset.CrossRow.uniqueness(df)
+        .verdicts.agg(sum(col("violations"))).collect()
+    }
+    val reps = 3
+    val (a, b) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
+    (0 until reps).foreach { r =>
+      val t0 = System.nanoTime(); retiredVerdicts(); a(r) = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); shippedVerdicts(); b(r) = (System.nanoTime() - t1) / 1e9
+    }
+    println(f"[uniq] verdicts unfused (retired): ${a.map(t => f"$t%.2f").mkString(" ")} s  min=${a.min}%.2f")
+    println(f"[uniq] verdicts fused (shipped):   ${b.map(t => f"$t%.2f").mkString(" ")} s  min=${b.min}%.2f")
     spark.stop()
   }
 }

@@ -25,13 +25,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]"), p)
   }
 
-  test("uniqueness verdict scans only the key column (column pruning)") {
+  test("uniqueness candidate fetch scans only key+part and keeps one _kh exchange") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("part", col("source"))
-    val v = CrossRow.uniqueness(df, "doc_id", "part")
-    // the dup-detection branch must not read text/lang/n_chars
-    val p = planOf(v.violations)
+    // gate the UN-checkpointed build plan (uniqueness itself wraps this in a
+    // lazy localCheckpoint, which hides the lineage from explain)
+    val p = planOf(CrossRow.dupCandidates(df, "doc_id", "part"))
+    // neither the detection branch nor the row fetch may read text/lang/n_chars
     assert(!p.contains("ReadSchema: struct<doc_id:bigint,text"), "dup scan reads full width:\n" + p)
+    // fused shape: exactly one full-data exchange (the 8 B/row hash detection)
+    val khExchanges = "hashpartitioning\\(_kh".r.findAllIn(p).length
+    assert(khExchanges == 1, s"expected 1 _kh exchange, got $khExchanges:\n" + p)
   }
 
   test("dup detection: one full-data exchange, partial-agg salt stage, no salt column") {
