@@ -55,22 +55,51 @@ object Drift {
         first(col("t")).as("total"))
   }
 
-  /** SINGLE-SCAN multi-dimension drift: one `groupBy(part, b1, …, bn)` cube
-    * (cardinality = Π bucket-counts × parts, still histogram-sized), then
-    * each dimension's histogram is a re-aggregation of the cube — n drift
-    * checks for the scan+shuffle price of one. */
-  def multiValidation(df: DataFrame, dims: Seq[(String, Column, Double)],
-                      part: String = "part", smoothing: Double = 0.5,
-                      baseRank: Int = 1100): Seq[Validation] = {
+  /** The multi-dimension histogram cube: `(part, _b0 … _bn, c)` — one
+    * `groupBy(part, b1, …, bn)` over the data (cardinality =
+    * Π bucket-counts × parts, still histogram-sized). Every per-dimension
+    * histogram AND the per-part row totals are re-aggregations of this one
+    * frame.
+    *
+    * Consumers should share it through `.localCheckpoint(false)` (as
+    * `Suite`/`multiValidation` do): ReuseExchange does NOT collapse the
+    * consumers' differently-pruned copies — measured on the suite verdicts
+    * final plan, the un-checkpointed cube's scan executed 3× (once per
+    * drift dimension + once column-pruned to `part` for the totals, which
+    * the optimizer rewrites into a direct scan) — whereas the checkpointed
+    * cube is materialized once and every consumer re-reads the tiny
+    * histogram-sized frame. */
+  def cube(df: DataFrame, dims: Seq[(String, Column, Double)],
+           part: String = "part"): DataFrame = {
     val keys = col(part).as("part") +:
       dims.zipWithIndex.map { case ((_, b, _), i) => b.cast(StringType).as(s"_b$i") }
-    val cube = df.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+    df.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-part row totals re-aggregated from the cube — zero additional
+    * scans next to any other cube consumer (exchange reuse). */
+  def totalsFromCube(cube: DataFrame): DataFrame =
+    cube.groupBy(col("part")).agg(sum(col("c")).as("total"))
+
+  /** SINGLE-SCAN multi-dimension drift: n drift checks for the scan+shuffle
+    * price of one — the cube is lazily checkpointed so the dimensions
+    * actually share one materialization (see `cube`). */
+  def multiValidation(df: DataFrame, dims: Seq[(String, Column, Double)],
+                      part: String = "part", smoothing: Double = 0.5,
+                      baseRank: Int = 1100): Seq[Validation] =
+    multiValidationFromCube(cube(df, dims, part).localCheckpoint(false),
+      dims, smoothing, baseRank)
+
+  /** Drift checks over a prebuilt `cube` frame (shared with other
+    * consumers, e.g. `Suite`'s verdict totals). */
+  def multiValidationFromCube(cube: DataFrame, dims: Seq[(String, Column, Double)],
+                              smoothing: Double = 0.5,
+                              baseRank: Int = 1100): Seq[Validation] =
     dims.zipWithIndex.map { case ((name, _, threshold), i) =>
       val h = cube.groupBy(col("part"), col(s"_b$i").as("bucket")).agg(sum(col("c")).as("c"))
       validationFromDivergence(divergenceFromHistogram(h, smoothing), name,
         threshold, baseRank + i)
     }
-  }
 
   /** Verdict-shaped drift check: pass iff KL ≤ threshold. The partition's
     * divergence value rides in `observed` of a per-partition violation row. */

@@ -17,9 +17,13 @@ import graft.stats.{Metrics, ValidationStateStore}
   *
   * Scan budget (at scale each is column-pruned to what it needs):
   *   1. row checks — full width, zero shuffle except the |parts| verdict agg
-  *   2. uniqueness — (doc_id, part) only
+  *   2. uniqueness — (doc_id[, part]) only: hash detection + candidate fetch
+  *      (two scans, 8 B/row exchange; see CrossRow.uniqueness)
   *   3. referential — (source, doc_id, part) only, no shuffle (broadcast)
-  *   4+5. drift histograms — (n_tok|source, part) only, |parts×buckets| shuffle
+  *   4+5. drift histograms — (n_tok, source, part) only, ONE shared cube
+  *      scan + |parts×buckets| shuffle: the histogram-sized cube is lazily
+  *      checkpointed and both dimensions AND the per-part verdict totals
+  *      re-read the materialized frame, costing no scan of their own
   */
 object Suite {
 
@@ -40,18 +44,25 @@ object Suite {
       col(cfg.nTok) === size(col(cfg.tokens)),
       col(cfg.nTok))
 
-    // per-part totals collected once (|parts| rows) → cross-row verdict
-    // joins are literal-sized, no repeated counting scans
-    val totals = Some(CrossRow.partTotalsLiteral(df, cfg.part))
+    // both drift dimensions share ONE scan via the multi-bucket cube, and
+    // the per-part totals for the uniqueness/referential verdict joins are
+    // a re-aggregation of the SAME cube — ReuseExchange collapses every
+    // consumer onto the cube's one scan+shuffle, so totals cost zero
+    // additional reads (previously an eager driver-collected literal paid
+    // one full extra table scan before the job even started)
+    val dims = Seq(
+      (cfg.nTok, Drift.widthBucket(col(cfg.nTok), cfg.nTokBucketWidth), cfg.klThreshold),
+      (cfg.source, col(cfg.source), cfg.klThreshold))
+    // lazily checkpointed: ReuseExchange does not collapse the consumers'
+    // differently-pruned copies of the cube (see Drift.cube scaladoc)
+    val cube = Drift.cube(df, dims, cfg.part).localCheckpoint(false)
+    val totals = Some(Drift.totalsFromCube(cube))
 
     val row = Validator.validate(df, spec, cfg.docId, Some(cfg.part), Vector(consistency))
     val uniq = CrossRow.uniqueness(df, cfg.docId, cfg.part, totals = totals)
     val ref = CrossRow.referential(df, cfg.source, dim, cfg.source, cfg.docId, cfg.part,
       totals = totals)
-    // both drift dimensions share ONE scan via the multi-bucket cube
-    val drifts = Drift.multiValidation(df, Seq(
-      (cfg.nTok, Drift.widthBucket(col(cfg.nTok), cfg.nTokBucketWidth), cfg.klThreshold),
-      (cfg.source, col(cfg.source), cfg.klThreshold)), cfg.part)
+    val drifts = Drift.multiValidationFromCube(cube, dims)
 
     val parts = Seq(row, uniq, ref) ++ drifts
     Validation(
