@@ -233,15 +233,42 @@ object CrossRow {
       pass = coalesce(ok, lit(false)),
       observed = observed.cast(StringType))
 
+  /** Referential-integrity VERDICT counts derived from a histogram cube
+    * that carries the FK column as dimension column `bucket` (Suite's drift
+    * cube): violations per part = Σ c over cells whose bucket value is
+    * absent from the dim. The verdicts action then touches NO row-level
+    * scan at all — the cube is already materialized for drift — while the
+    * row-level `referential(...).violations` frame stays the authoritative
+    * row fetch, executed only when violations are actually written.
+    *
+    * Count-equivalence to `referential` requires the cube's bucketing of
+    * the FK column to be the identity (string-typed FK; the cube casts
+    * dims to string) — gated row-for-row against the row-level verdicts in
+    * CrossRowSpec. Null FK values are not violations (cube cell with null
+    * bucket is excluded), matching `referential`. */
+  def referentialVerdictsFromCube(cube: DataFrame, bucket: String,
+                                  dim: DataFrame, dimCol: String,
+                                  totals: DataFrame, column: String,
+                                  rank: Int = BaseRank + 1): DataFrame = {
+    val vioCounts = cube.where(col(bucket).isNotNull)
+      .join(broadcast(dim.select(col(dimCol).cast(StringType).as(bucket)).distinct),
+        Seq(bucket), "left_anti")
+      .groupBy(col("part")).agg(sum(col("c")).as("violations"))
+    verdictsFromCounts(totals, vioCounts, rank, s"dataset/referential:$column")
+  }
+
   /** Verdict frame derived from a violation frame + per-part totals.
     * Both sides aggregate before the join, so the join is |parts|-sized. */
   private[graft] def verdictsFromViolations(totals: DataFrame, violations: DataFrame,
-                                            rank: Int, id: String): DataFrame = {
-    val vioCounts = violations.groupBy(col("part")).agg(count(lit(1)).as("violations"))
+                                            rank: Int, id: String): DataFrame =
+    verdictsFromCounts(totals,
+      violations.groupBy(col("part")).agg(count(lit(1)).as("violations")), rank, id)
+
+  private def verdictsFromCounts(totals: DataFrame, vioCounts: DataFrame,
+                                 rank: Int, id: String): DataFrame =
     totals.join(vioCounts, Seq("part"), "left")
       .select(
         col("part"), lit(rank).as("rank"), lit(id).as("constraint_id"), col("total"),
         coalesce(col("violations"), lit(0L)).as("violations"),
         (coalesce(col("violations"), lit(0L)) === 0).as("pass"))
-  }
 }

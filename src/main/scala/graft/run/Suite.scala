@@ -60,8 +60,15 @@ object Suite {
 
     val row = Validator.validate(df, spec, cfg.docId, Some(cfg.part), Vector(consistency))
     val uniq = CrossRow.uniqueness(df, cfg.docId, cfg.part, totals = totals)
-    val ref = CrossRow.referential(df, cfg.source, dim, cfg.source, cfg.docId, cfg.part,
-      totals = totals)
+    // referential: verdict COUNTS come from the cube (source is cube dim
+    // _b1, so orphan cells anti-joined against the dim count the violations
+    // — no row-level scan in the verdicts action); the row-level violations
+    // frame stays the authoritative row fetch and only scans when written
+    val ref = Validation(
+      CrossRow.referentialVerdictsFromCube(cube, "_b1", dim, cfg.source,
+        totals.get, cfg.source),
+      CrossRow.referential(df, cfg.source, dim, cfg.source, cfg.docId, cfg.part,
+        totals = totals).violations)
     val drifts = Drift.multiValidationFromCube(cube, dims)
 
     val parts = Seq(row, uniq, ref) ++ drifts

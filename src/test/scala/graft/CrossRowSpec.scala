@@ -86,6 +86,26 @@ class CrossRowSpec extends AnyFunSuite {
     assert(b.violations.count() == seqs.where(col("source") === "spam").count())
   }
 
+  test("referential verdicts from the drift cube equal row-level verdicts") {
+    // Suite derives referential verdict COUNTS from the histogram cube
+    // (source = dim _b1) so the verdicts action needs no row-level scan —
+    // the counts must be indistinguishable from the row-level derivation,
+    // including null-FK exclusion and zero-violation parts
+    val totals = CrossRow.partTotals(seqs)
+    val row = CrossRow.referential(seqs, "source", dim, "source",
+      totals = Some(totals)).verdicts
+    val cube = Drift.cube(seqs, Seq(
+      ("n_tok", Drift.widthBucket(col("n_tok"), 8.0), 0.05),
+      ("source", col("source"), 0.05)))
+    val cubed = CrossRow.referentialVerdictsFromCube(cube, "_b1", dim, "source",
+      totals, "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(row) == rows(cubed))
+    assert(cubed.agg(sum(col("violations"))).collect()(0).getLong(0) ==
+      seqs.where(col("source") === "spam").count())
+  }
+
   test("consistency check flags n_tok != size(tokens) rows in the row pass") {
     val check = CrossRow.consistency("n_tok=size(tokens)",
       col("n_tok") === size(col("tokens")), col("n_tok"))
