@@ -223,6 +223,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("skew=true"), "hot-key partition was not skew-split:\n" + p)
   }
 
+  test("suite verdicts action reads the table ONCE (other branches ride checkpoints)") {
+    // row checks are the only consumer that needs the full-width row scan;
+    // uniqueness candidates and the drift cube materialize once in their
+    // own checkpoint lineages, and referential verdict counts + per-part
+    // totals re-aggregate the cube — a second FileSourceScan in the final
+    // adaptive plan means a fusion regressed
+    val dir = "/tmp/graft_test/suite_scan_gate"
+    graft.data.SequenceGen.sequences(spark, 20000L, 4)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val v = graft.run.Suite.validateSequences(df, graft.data.SequenceGen.dimSources(spark))
+    val agg = v.verdicts.agg(sum(col("violations")))
+    agg.collect() // finalize AQE
+    val nodes = graft.tools.SuitePlanProbe.walk(agg.queryExecution.executedPlan)
+    val scans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"expected 1 FileSourceScan in suite verdicts, got $scans")
+  }
+
   test("minhash signature stage computes shingles once — no inferred-filter recompute") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val shf = graft.pipeline.Dedup.shingleFrame(df, col("text"), col("doc_id"))
