@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dataset.CrossRow
 import graft.drift.Drift
-import graft.pipeline.{Dedup, Hashing, Seeded, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Hashing, Sampling, Seeded, Similarity, TextAnalysis}
 
 /** Query battery part 2: cross-row operators, drift, stats sketches,
   * dedup/text/similarity pipeline ops — each with a DuckDB oracle.
@@ -173,6 +173,21 @@ object PipelineQueries {
             .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
         .orderBy("doc_id")
     }),
+
+    // -- decontamination + mixing ------------------------------------------
+    "p_decontaminate" -> ((s, dir) => {
+      // eval set = every 97th doc; flag the rest of the corpus on shared
+      // 3-word shingles (same shingle definition as the Jaccard family)
+      val d = docs(s, dir)
+      Dedup.contaminatedDocs(
+          d.where(col("doc_id") % 97 =!= 0), col("text"), col("doc_id"),
+          d.where(col("doc_id") % 97 === 0), col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    "p_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(docs(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id", 50, Hashing.Md5)
+        .orderBy("source", "doc_id")),
 
     // -- text analysis ------------------------------------------------------
     "p_token_counts" -> ((s, dir) =>
@@ -547,6 +562,25 @@ object PipelineQueries {
           comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
           SELECT id AS doc_id, label AS keep_doc_id
           FROM comp WHERE id != label ORDER BY doc_id""",
+    // same word-normalization + k=3 shingle twin as the Jaccard family;
+    // eval shingles distinct'd, corpus rows counted by distinct overlap
+    "p_decontaminate" ->
+      s"""WITH wd AS (SELECT doc_id, $normWords AS words FROM documents),
+          shd AS (SELECT doc_id, $shinglesSql AS sh FROM wd),
+          cs AS (SELECT doc_id, unnest(sh) AS s FROM shd WHERE doc_id % 97 <> 0),
+          es AS (SELECT DISTINCT unnest(sh) AS s FROM shd WHERE doc_id % 97 = 0)
+          SELECT cs.doc_id, count(DISTINCT cs.s) AS matched_shingles
+          FROM cs JOIN es ON cs.s = es.s
+          GROUP BY cs.doc_id ORDER BY doc_id""",
+    // membership is a pure function of md5(doc_id string form) — ties
+    // broken by doc_id; DuckDB reproduces the Spark sample bit-for-bit
+    "p_quota_sample" ->
+      s"""SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY ${h64("doc_id::VARCHAR")}, doc_id) AS rn
+            FROM documents) t
+          WHERE rn <= 50 ORDER BY source, doc_id""",
     "p_token_counts" ->
       s"""SELECT doc_id, $wsTokSql AS ws_tokens, $bpeTokSql AS bpe_tokens
           FROM documents ORDER BY doc_id""",

@@ -280,6 +280,38 @@ object Dedup {
       .distinct()
   }
 
+  // -- eval-set decontamination --------------------------------------------
+
+  /** Exact k-gram DECONTAMINATION: corpus documents sharing any word
+    * k-shingle with a (small) eval/benchmark set — the training-pipeline
+    * step that keeps test data out of training data. Returns
+    * (doc_id, matched_shingles = distinct eval shingles present).
+    *
+    * Scale shape: the eval side is shingled, exploded and `distinct`ed
+    * (eval sets are ≪ corpus by definition), then BROADCAST; the corpus
+    * side is the staged shingle explode — a map-only pass over the corpus
+    * with NO corpus-sized shuffle anywhere: the only exchange after the
+    * broadcast join carries matched (doc_id, shingle) rows, bounded by
+    * |contaminated docs| × |eval shingles|. Same shingle definition as the
+    * Jaccard/minhash family (`TextAnalysis.shinglesFromWords`), so the
+    * DuckDB oracle reuses the shared shingle SQL twin. */
+  def contaminatedDocs(corpus: DataFrame, corpusText: Column, corpusId: Column,
+                       eval: DataFrame, evalText: Column, evalId: Column,
+                       k: Int = 3): DataFrame = {
+    // explode_outer: same InferFiltersFromGenerate hazard as
+    // minhashSignatures; the one null shingle of a null-text row is
+    // dropped by the equi-join below
+    val evalShingles = shingleFrame(eval, evalText, evalId, k)
+      .select(explode_outer(col("_sh")).as("_s"))
+      .where(col("_s").isNotNull)
+      .distinct()
+    val corpusShingles = shingleFrame(corpus, corpusText, corpusId, k)
+      .select(col("doc_id"), explode_outer(col("_sh")).as("_s"))
+    corpusShingles.join(broadcast(evalShingles), Seq("_s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("_s")).as("matched_shingles"))
+  }
+
   /** Connected components over an undirected pair set — the step that turns
     * verified near-dup PAIRS into a dedup DECISION (one kept representative
     * per duplicate cluster). Iterative min-label propagation: each round

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data mixing.
+  *
+  * The reference has no analog (single-value validator); this is part of
+  * the LLM-pipeline operator family the brief adds. No randomness anywhere:
+  * sample membership is a pure function of the row key, so runs are
+  * reproducible across partitionings, retries and engines (the driver
+  * oracle recomputes the same sample in DuckDB).
+  */
+object Sampling {
+
+  /** Per-key QUOTA sample (data mixing): the `quota` rows with the
+    * smallest seeded hash of `docId` within each `key` group — i.e. a
+    * deterministic uniform sample without replacement, stable under
+    * repartitioning and row order, ties broken by `docId`.
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit
+    * (PlanSpec-gated), so each map task keeps only its LOCAL top-`quota`
+    * rows per key before the single key-partitioned exchange — shuffle
+    * volume is O(quota × tasks-per-key), never the table. A hot key
+    * (one source dominating the corpus) is therefore bounded the same way
+    * the salted uniqueness stage is: pre-aggregation at the input
+    * partition boundary.
+    *
+    * `hash` defaults to the production xxhash64 family; driver-oracle
+    * queries pass [[Hashing.Md5]] so DuckDB reproduces membership
+    * bit-for-bit. The id is hashed through its STRING form — the decimal
+    * rendering is the one representation both engines agree on (md5 of a
+    * BIGINT would hash engine-specific bytes). */
+  def quotaSample(df: DataFrame, key: String, docId: String, quota: Int,
+                  hash: Hashing.HashFamily = Hashing.Xx): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_mh"), col(docId))
+    df.withColumn("_mh", hash.plain(col(docId).cast(org.apache.spark.sql.types.StringType)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= quota)
+      .drop("_mh", "_rn")
+  }
+}

@@ -119,6 +119,53 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("decontamination equals brute-force shingle-overlap; eval-only shingles don't flag") {
+    val corpus = docsDf.where(col("doc_id") =!= 8)
+    val eval = docsDf.where(col("doc_id") === 8) // exact copy of doc 1
+      .unionByName(Seq((9L, "totally unrelated benchmark prompt nothing shared"))
+        .toDF("doc_id", "text"))
+    val got = Dedup.contaminatedDocs(corpus, col("text"), col("doc_id"),
+        eval, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute force: per corpus doc, distinct shingles ∩ distinct eval shingles
+    val sh = Dedup.shingleFrame(corpus, col("text"), col("doc_id"))
+      .select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
+    val evalSh = Dedup.shingleFrame(eval, col("text"), col("doc_id"))
+      .select(explode(col("_sh")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = sh.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).count(evalSh.contains).toLong)
+      .filter(_._2 > 0).toMap
+    assert(got == expected)
+    assert(got.contains(1L)) // the planted exact copy must be flagged
+    assert(!got.contains(6L)) // disjoint zh doc must not be
+  }
+
+  test("quotaSample: deterministic, partitioning-invariant, per-key bounded") {
+    import graft.pipeline.{Hashing, Sampling}
+    val df = spark.range(1000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 10 < 7 THEN 'big' WHEN id % 10 < 9 THEN 'mid' ELSE concat('tiny', id) END AS source")
+    val a = Sampling.quotaSample(df, "source", "doc_id", 30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = Sampling.quotaSample(df.repartition(13), "source", "doc_id", 30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b, "sample must be independent of partitioning")
+    val perKey = a.groupBy(_._2).map { case (k, v) => k -> v.size }
+    assert(perKey("big") == 30 && perKey("mid") == 30)
+    assert(perKey.filter(_._1.startsWith("tiny")).values.forall(_ == 1),
+      "groups under quota keep every row")
+    // membership = the quota smallest hashes per key (driver recompute)
+    val hashed = df.withColumn("_h",
+        Hashing.Xx.plain(col("doc_id").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = hashed.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(30)
+    }.map(r => (r._1, r._2)).sorted
+    assert(a == expected)
+  }
+
   test("dropListFromPairs is generic: exact ngram pairs collapse to the same decision as LSH") {
     val pairs = Dedup.ngramJaccardNearDuplicates(docsDf, col("text"), col("doc_id"),
       threshold = 0.5)

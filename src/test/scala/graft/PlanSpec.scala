@@ -97,6 +97,33 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("quotaSample rank filter compiles to WindowGroupLimit (partial per-task top-k)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val p = planOf(graft.pipeline.Sampling.quotaSample(df, "source", "doc_id", 50))
+    // partial mode must run BEFORE the exchange: shuffle volume is then
+    // O(quota × tasks-per-key), never the table
+    assert(p.contains("WindowGroupLimit"), "no WindowGroupLimit:\n" + p)
+    assert(p.linesIterator.exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      "no PARTIAL WindowGroupLimit before the exchange:\n" + p)
+  }
+
+  test("decontamination broadcasts the eval shingles; corpus side never shuffles rows") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val flagged = graft.pipeline.Dedup.contaminatedDocs(
+      df.where(col("doc_id") % 97 =!= 0), col("text"), col("doc_id"),
+      df.where(col("doc_id") % 97 === 0), col("text"), col("doc_id"))
+    val p = planOf(flagged)
+    assert(p.contains("BroadcastHashJoin"), "eval side not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus-sized shuffle join:\n" + p)
+    // the only row exchanges after the join carry matched (doc_id, shingle)
+    // rows; the corpus shingle explode itself must not be re-keyed
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => l.contains("doc_id#") || l.contains("_s#")),
+      "unexpected exchange keys:\n" + p)
+  }
+
   test("row checks compile to a single scan with zero shuffles before the verdict agg") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Validator.validate(df, SpecParser.parse(SparkEntry.DocSpecJson),
