@@ -190,6 +190,9 @@ object PipelineQueries {
         .orderBy("source", "doc_id")),
 
     // -- text analysis ------------------------------------------------------
+    "p_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
     "p_token_counts" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
@@ -581,6 +584,30 @@ object PipelineQueries {
                                       ORDER BY ${h64("doc_id::VARCHAR")}, doc_id) AS rn
             FROM documents) t
           WHERE rn <= 50 ORDER BY source, doc_id""",
+    // the oracle counts per-distinct-bigram occurrences (n² at test scale);
+    // the engine's run-length-over-sorted derivation must agree exactly
+    "p_repetition" ->
+      s"""WITH wd AS (SELECT doc_id, $normWords AS words FROM documents),
+          bgd AS (SELECT doc_id, words,
+                   CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+                        ELSE list_transform(generate_series(1, len(words) - 1),
+                                            i -> words[i] || ' ' || words[i+1]) END AS bg
+                  FROM wd),
+          tp AS (SELECT doc_id, words, bg,
+                   CASE WHEN len(bg) = 0 THEN 0
+                        ELSE list_max(list_transform(list_distinct(bg),
+                               b -> len(list_filter(bg, x -> x = b)))) END AS top
+                 FROM bgd)
+          SELECT doc_id,
+                 len(words) AS words,
+                 CASE WHEN len(words) > 0
+                      THEN round(1.0 - len(list_distinct(words))::DOUBLE / len(words), 4)
+                      ELSE 0.0 END AS dup_word_frac,
+                 len(bg) AS bigrams,
+                 top AS top_bigram_count,
+                 CASE WHEN len(bg) > 0 THEN round(top::DOUBLE / len(bg), 4)
+                      ELSE 0.0 END AS top_bigram_frac
+          FROM tp ORDER BY doc_id""",
     "p_token_counts" ->
       s"""SELECT doc_id, $wsTokSql AS ws_tokens, $bpeTokSql AS bpe_tokens
           FROM documents ORDER BY doc_id""",

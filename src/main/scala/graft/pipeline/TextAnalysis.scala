@@ -105,4 +105,49 @@ object TextAnalysis {
     * SQL oracle can reproduce it byte-for-byte. */
   def contentKey(text: Column): Column =
     md5(array_join(words(text), " "))
+
+  /** Gopher-style REPETITION signals per document, computed entirely
+    * map-side (zero shuffle): `(doc_id, words, dup_word_frac, bigrams,
+    * top_bigram_count, top_bigram_frac)` — the "fraction of the doc covered
+    * by its most frequent n-gram" filter family (Rae et al., Gopher,
+    * arXiv:2112.11446 §A1.1).
+    *
+    * The top-bigram count is a run-length maximum over the SORTED bigram
+    * array — O(n log n) per row with a constant-size aggregate state. NOT
+    * an explode+groupBy (that would shuffle every bigram of a 100-TB
+    * corpus for a per-row statistic) and NOT a count-per-distinct nested
+    * HOF (O(n²) per row on long documents). Lambda bodies reference only
+    * the accumulator and element (free expressions in Catalyst lambdas
+    * re-evaluate per element — the staged `_w`/`_bg` columns stay outside). */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, text: Column,
+                      docId: Column): org.apache.spark.sql.DataFrame = {
+    val staged = df.select(docId.as("doc_id"), words(text).as("_w"))
+      .withColumn("_bg",
+        zip_with(
+          slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+          slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))
+      .withColumn("_top",
+        aggregate(
+          array_sort(col("_bg")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
+    staged.select(
+      col("doc_id"),
+      size(col("_w")).as("words"),
+      when(size(col("_w")) > 0,
+        round(lit(1.0) - size(array_distinct(col("_w"))).cast("double") / size(col("_w")), 4))
+        .otherwise(lit(0.0)).as("dup_word_frac"),
+      size(col("_bg")).as("bigrams"),
+      col("_top").as("top_bigram_count"),
+      when(size(col("_bg")) > 0,
+        round(col("_top").cast("double") / size(col("_bg")), 4))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
 }

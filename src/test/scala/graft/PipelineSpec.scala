@@ -119,6 +119,34 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("repetitionStats: run-length-over-sorted equals brute-force bigram counting") {
+    val corpus = docsDf.unionByName(Seq(
+      (20L, "spam spam spam spam spam"),  // one bigram repeated 4x
+      (21L, "a"),                          // 1 word, 0 bigrams
+      (22L, ""),                           // empty
+      (23L, "x y x y x y")                 // alternating: "x y" 3x, "y x" 2x
+    ).toDF("doc_id", "text"))
+    val got = TextAnalysis.repetitionStats(corpus, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getInt(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    corpus.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val ws = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      val bg = if (ws.size < 2) Seq.empty[String]
+               else ws.sliding(2).map(_.mkString(" ")).toSeq
+      val top = if (bg.isEmpty) 0L else bg.groupBy(identity).values.map(_.size).max.toLong
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = (ws.size,
+        if (ws.nonEmpty) r4(1.0 - ws.distinct.size.toDouble / ws.size) else 0.0,
+        bg.size, top,
+        if (bg.nonEmpty) r4(top.toDouble / bg.size) else 0.0)
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, expected $expected")
+    }
+    assert(got(20L) == ((5, 0.8, 4, 4L, 1.0)))
+    assert(got(23L)._4 == 3L) // "x y" wins over "y x"
+  }
+
   test("decontamination equals brute-force shingle-overlap; eval-only shingles don't flag") {
     val corpus = docsDf.where(col("doc_id") =!= 8)
     val eval = docsDf.where(col("doc_id") === 8) // exact copy of doc 1
