@@ -571,7 +571,9 @@ object PipelineQueries {
       s"""WITH wd AS (SELECT doc_id, $normWords AS words FROM documents),
           shd AS (SELECT doc_id, $shinglesSql AS sh FROM wd),
           cs AS (SELECT doc_id, unnest(sh) AS s FROM shd WHERE doc_id % 97 <> 0),
-          es AS (SELECT DISTINCT unnest(sh) AS s FROM shd WHERE doc_id % 97 = 0)
+          es AS (SELECT DISTINCT s FROM
+                   (SELECT unnest(sh) AS s FROM shd WHERE doc_id % 97 = 0) e
+                 WHERE s <> '')
           SELECT cs.doc_id, count(DISTINCT cs.s) AS matched_shingles
           FROM cs JOIN es ON cs.s = es.s
           GROUP BY cs.doc_id ORDER BY doc_id""",

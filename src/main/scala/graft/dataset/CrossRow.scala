@@ -29,6 +29,19 @@ object CrossRow {
   /** Cross-row checks rank after all row-level checks in golden ordering. */
   val BaseRank = 1000
 
+  /** The ONE dup-hash detection definition shared by `duplicateKeys` and
+    * `dupCandidates`: (projected row frame incl. `_kh`, the >1-hash set). */
+  private def dupHashDetection(df: DataFrame, key: String,
+                               extra: Seq[Column]): (DataFrame, DataFrame) = {
+    val hashed = df.select(extra :+ col(key) :+ xxhash64(col(key)).as("_kh"): _*)
+    val dupHashes = hashed.select(col("_kh"))
+      .groupBy(col("_kh"))
+      .agg(count(lit(1)).as("_hc"))
+      .where(col("_hc") > 1)
+      .select(col("_kh"))
+    (hashed, dupHashes)
+  }
+
   /** (key, cnt) for keys occurring more than once — salted two-stage agg.
     *
     * Hash-first: stage 1+2 aggregate on `xxhash64(key)` (8 bytes shuffled
@@ -50,12 +63,7 @@ object CrossRow {
     * 8.4 s / 663 CPU-s vs 5.1 s / 342 CPU-s for this one, same output
     * (tools/UniqProbe A/B). */
   def duplicateKeys(df: DataFrame, key: String): DataFrame = {
-    val hashed = df.select(col(key), xxhash64(col(key)).as("_kh"))
-    val dupHashes = hashed.select(col("_kh"))
-      .groupBy(col("_kh"))
-      .agg(count(lit(1)).as("_hc"))
-      .where(col("_hc") > 1)
-      .select(col("_kh"))
+    val (hashed, dupHashes) = dupHashDetection(df, key, Seq.empty)
     // exact re-count over only the candidate keys (dup set ≪ table; AQE
     // broadcasts the hash set at runtime)
     hashed.join(dupHashes, Seq("_kh"))
@@ -88,12 +96,7 @@ object CrossRow {
     * un-checkpointed so PlanSpec can gate pruning + the single `_kh`
     * exchange on the real build plan. */
   private[graft] def dupCandidates(df: DataFrame, key: String, part: String): DataFrame = {
-    val hashed = df.select(col(part).as("part"), col(key), xxhash64(col(key)).as("_kh"))
-    val dupHashes = hashed.select(col("_kh"))
-      .groupBy(col("_kh"))
-      .agg(count(lit(1)).as("_hc"))
-      .where(col("_hc") > 1)
-      .select(col("_kh"))
+    val (hashed, dupHashes) = dupHashDetection(df, key, Seq(col(part).as("part")))
     hashed.join(dupHashes, Seq("_kh")).select(col("part"), col(key))
   }
 

@@ -300,10 +300,13 @@ object Dedup {
                        k: Int = 3): DataFrame = {
     // explode_outer: same InferFiltersFromGenerate hazard as
     // minhashSignatures; the one null shingle of a null-text row is
-    // dropped by the equi-join below
+    // dropped by the equi-join below. The EMPTY shingle ("") is
+    // shinglesFromWords' sentinel for a zero-word doc — without the <> ''
+    // filter, one punctuation-only eval doc would flag EVERY empty corpus
+    // doc as contaminated (zero shared words is not contamination).
     val evalShingles = shingleFrame(eval, evalText, evalId, k)
       .select(explode_outer(col("_sh")).as("_s"))
-      .where(col("_s").isNotNull)
+      .where(col("_s").isNotNull && col("_s") =!= "")
       .distinct()
     val corpusShingles = shingleFrame(corpus, corpusText, corpusId, k)
       .select(col("doc_id"), explode_outer(col("_sh")).as("_s"))

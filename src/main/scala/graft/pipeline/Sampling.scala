@@ -35,9 +35,17 @@ object Sampling {
   def quotaSample(df: DataFrame, key: String, docId: String, quota: Int,
                   hash: Hashing.HashFamily = Hashing.Xx): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
+    // Null ids rank LAST, explicitly: md5 of null is null but xxhash64 of a
+    // null input returns the SEED (42) — without forcing the hash to null
+    // for null ids, the two families would rank null rows differently and
+    // xxhash64 would slot them mid-order. asc_nulls_last then matches
+    // standard SQL (and the DuckDB oracle's) NULLS LAST, so null-id rows
+    // never displace real ids from the quota in either engine.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_mh"), col(docId))
-    df.withColumn("_mh", hash.plain(col(docId).cast(org.apache.spark.sql.types.StringType)))
+      .orderBy(col("_mh").asc_nulls_last, col(docId).asc_nulls_last)
+    df.withColumn("_mh",
+        when(col(docId).isNull, lit(null))
+          .otherwise(hash.plain(col(docId).cast(org.apache.spark.sql.types.StringType))))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= quota)
       .drop("_mh", "_rn")

@@ -24,6 +24,15 @@ import graft.stats.{Metrics, ValidationStateStore}
   *      scan + |parts×buckets| shuffle: the histogram-sized cube is lazily
   *      checkpointed and both dimensions AND the per-part verdict totals
   *      re-read the materialized frame, costing no scan of their own
+  *
+  * Fault-tolerance note: the shared frames (uniqueness candidates, drift
+  * cube) are `localCheckpoint`ed — blocks live on executors, so losing one
+  * mid-job fails the job instead of recomputing from lineage. That is the
+  * deliberate trade here: the engine's recovery unit is the RESUMABLE RUN
+  * (`resumableRun` skips already-validated partitions on restart), not RDD
+  * lineage replay, and the checkpointed frames are dup-set/histogram-sized
+  * (cheap to redo), while keeping their lineage would re-execute the
+  * detection pipeline from the source scan on EVERY action, every run.
   */
 object Suite {
 
@@ -60,12 +69,17 @@ object Suite {
 
     val row = Validator.validate(df, spec, cfg.docId, Some(cfg.part), Vector(consistency))
     val uniq = CrossRow.uniqueness(df, cfg.docId, cfg.part, totals = totals)
-    // referential: verdict COUNTS come from the cube (source is cube dim
-    // _b1, so orphan cells anti-joined against the dim count the violations
-    // — no row-level scan in the verdicts action); the row-level violations
-    // frame stays the authoritative row fetch and only scans when written
+    // referential: verdict COUNTS come from the cube (source is a cube
+    // dimension, so orphan cells anti-joined against the dim count the
+    // violations — no row-level scan in the verdicts action); the row-level
+    // violations frame stays the authoritative row fetch and only scans
+    // when written. The cube's dim columns are positional (_b0.._bn) —
+    // resolve source's index by NAME so reordering `dims` can't silently
+    // anti-join the wrong dimension.
+    val srcDim = dims.indexWhere(_._1 == cfg.source)
+    require(srcDim >= 0, s"source dim '${cfg.source}' missing from cube dims")
     val ref = Validation(
-      CrossRow.referentialVerdictsFromCube(cube, "_b1", dim, cfg.source,
+      CrossRow.referentialVerdictsFromCube(cube, s"_b$srcDim", dim, cfg.source,
         totals.get, cfg.source),
       CrossRow.referential(df, cfg.source, dim, cfg.source, cfg.docId, cfg.part,
         totals = totals).violations)

@@ -18,7 +18,9 @@ object SuitePlanProbe {
       case _: ReusedExchangeExec    => Seq.empty
       case _                        => p.children
     }
-    p +: kids.flatMap(walk)
+    // subqueries (scalar/in-subquery/dynamic-pruning) wrap plans of their
+    // own — a scan hiding inside one must count against the scan budget
+    p +: (kids ++ p.subqueries).flatMap(walk)
   }
 
   def main(args: Array[String]): Unit = {

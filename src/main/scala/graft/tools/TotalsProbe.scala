@@ -2,11 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Interleaved A/B behind Suite's cube-derived verdict totals: the RETIRED
-  * wiring (eager driver-collected `partTotalsLiteral` — one full extra
-  * table scan before the job starts) vs the shipped form (totals
-  * re-aggregated from the drift cube, sharing its exchange). The retired
-  * shape is inlined verbatim so the measured claim stays reproducible. */
+/** Interleaved A/B behind the post-e32aa80 suite fusions (checkpointed
+  * shared cube, cube-derived totals, referential verdicts from cube): the
+  * RETIRED wiring (eager driver-collected `partTotalsLiteral` extra scan,
+  * un-checkpointed cube re-aggregated per drift dim, row-level referential
+  * verdicts) vs the shipped `Suite.validateSequences`. The retired shape
+  * is inlined verbatim so the measured claim stays reproducible. */
 object TotalsProbe {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
@@ -22,7 +23,10 @@ object TotalsProbe {
     Suite.onGenerated(spark, 50000).verdicts.agg(sum("violations")).collect()
 
     // RETIRED pre-cube-totals suite wiring (Suite.validateSequences as of
-    // commit e32aa80): literal totals + standalone multiValidation
+    // commit e32aa80): literal totals, row-level referential verdicts, and
+    // the UN-checkpointed cube re-aggregated per drift dim (today's
+    // Drift.multiValidation checkpoints the cube, so it is inlined here
+    // without the checkpoint to match what e32aa80 actually ran)
     def retired(): Unit = {
       val consistency = CrossRow.consistency(
         "n_tok=size(tokens)", col("n_tok") === size(col("tokens")), col("n_tok"))
@@ -31,9 +35,10 @@ object TotalsProbe {
       val uniq = CrossRow.uniqueness(df, "doc_id", "part", totals = totals)
       val ref = CrossRow.referential(df, "source", dim, "source", "doc_id", "part",
         totals = totals)
-      val drifts = Drift.multiValidation(df, Seq(
+      val dims = Seq(
         ("n_tok", Drift.widthBucket(col("n_tok"), 8.0), 0.05),
-        ("source", col("source"), 0.05)), "part")
+        ("source", col("source"), 0.05))
+      val drifts = Drift.multiValidationFromCube(Drift.cube(df, dims, "part"), dims)
       (Seq(row, uniq, ref) ++ drifts).map(_.verdicts).reduce(_ unionByName _)
         .agg(sum(col("violations"))).collect()
     }

@@ -152,9 +152,17 @@ class PipelineSpec extends AnyFunSuite {
     val eval = docsDf.where(col("doc_id") === 8) // exact copy of doc 1
       .unionByName(Seq((9L, "totally unrelated benchmark prompt nothing shared"))
         .toDF("doc_id", "text"))
-    val got = Dedup.contaminatedDocs(corpus, col("text"), col("doc_id"),
-        eval, col("text"), col("doc_id"))
+    // a punctuation-only eval doc contributes the zero-word sentinel
+    // shingle "" — it must NOT flag empty/punct-only corpus docs
+    val evalWithEmpty = eval.unionByName(
+      Seq((10L, "???!!!")).toDF("doc_id", "text"))
+    val corpusWithEmpty = corpus.unionByName(
+      Seq((11L, "..."), (12L, "")).toDF("doc_id", "text"))
+    val got = Dedup.contaminatedDocs(corpusWithEmpty, col("text"), col("doc_id"),
+        evalWithEmpty, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(11L) && !got.contains(12L),
+      "zero-word docs must never count as contaminated")
 
     // brute force: per corpus doc, distinct shingles ∩ distinct eval shingles
     val sh = Dedup.shingleFrame(corpus, col("text"), col("doc_id"))
@@ -192,6 +200,16 @@ class PipelineSpec extends AnyFunSuite {
       rows.sortBy(r => (r._3, r._1)).take(30)
     }.map(r => (r._1, r._2)).sorted
     assert(a == expected)
+
+    // null ids hash to null and must sort LAST (standard SQL / the DuckDB
+    // oracle's default) — never preferentially filling the quota
+    val withNulls = spark.range(40).selectExpr(
+      "CASE WHEN id % 4 = 0 THEN NULL ELSE id END AS doc_id", "'only' AS source")
+    val sampled = Sampling.quotaSample(withNulls, "source", "doc_id", 30)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(sampled.length == 30)
+    assert(sampled.count(_.isEmpty) == 0,
+      "30 non-null ids exist; null ids must not displace any of them")
   }
 
   test("dropListFromPairs is generic: exact ngram pairs collapse to the same decision as LSH") {
