@@ -188,6 +188,9 @@ object PipelineQueries {
       Sampling.quotaSample(docs(s, dir).select(col("doc_id"), col("source")),
           "source", "doc_id", 50, Hashing.Md5)
         .orderBy("source", "doc_id")),
+    "p_mixture" -> ((s, dir) =>
+      Sampling.mixtureReport(docs(s, dir), "source", "text")
+        .orderBy("source")),
 
     // -- text analysis ------------------------------------------------------
     "p_repetition" -> ((s, dir) =>
@@ -586,6 +589,15 @@ object PipelineQueries {
                                       ORDER BY ${h64("doc_id::VARCHAR")}, doc_id) AS rn
             FROM documents) t
           WHERE rn <= 50 ORDER BY source, doc_id""",
+    "p_mixture" ->
+      s"""WITH pk AS (SELECT source, count(*) AS docs,
+                             sum(($wsTokSql)::BIGINT) AS tokens
+                      FROM documents GROUP BY source),
+          t AS (SELECT sum(docs) AS td, sum(tokens) AS tt FROM pk)
+          SELECT source, docs, tokens,
+                 round(docs::DOUBLE / td, 6) AS doc_frac,
+                 round(tokens::DOUBLE / tt, 6) AS token_frac
+          FROM pk CROSS JOIN t ORDER BY source""",
     // the oracle counts per-distinct-bigram occurrences (n² at test scale);
     // the engine's run-length-over-sorted derivation must agree exactly
     "p_repetition" ->

@@ -50,4 +50,22 @@ object Sampling {
       .where(col("_rn") <= quota)
       .drop("_mh", "_rn")
   }
+
+  /** Data-MIXTURE report per key: `(key, docs, tokens, doc_frac,
+    * token_frac)` — the per-source share table a mixing step samples
+    * against. One partial-aggregated groupBy over the corpus; the global
+    * totals join is |keys|-sized (aggregate-over-aggregate, no second
+    * scan: Catalyst collapses the totals derivation onto the same
+    * aggregate output). Token counts use the whitespace tokenizer
+    * ([[TextAnalysis.wsTokenCount]]) so the oracle twin is exact. */
+  def mixtureReport(df: DataFrame, key: String, text: String): DataFrame = {
+    val perKey = df.groupBy(col(key))
+      .agg(count(lit(1)).as("docs"),
+           sum(TextAnalysis.wsTokenCount(col(text)).cast("long")).as("tokens"))
+    val totals = perKey.agg(sum(col("docs")).as("_td"), sum(col("tokens")).as("_tt"))
+    perKey.crossJoin(totals)
+      .select(col(key), col("docs"), col("tokens"),
+        round(col("docs").cast("double") / col("_td"), 6).as("doc_frac"),
+        round(col("tokens").cast("double") / col("_tt"), 6).as("token_frac"))
+  }
 }

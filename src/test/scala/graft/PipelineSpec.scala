@@ -212,6 +212,27 @@ class PipelineSpec extends AnyFunSuite {
       "30 non-null ids exist; null ids must not displace any of them")
   }
 
+  test("mixtureReport: shares sum to 1 and match a driver recompute") {
+    import graft.pipeline.Sampling
+    val corpus = docsDf.withColumn("source",
+      when(col("doc_id") <= 2, lit("web")).otherwise(lit("books")))
+    val got = Sampling.mixtureReport(corpus, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val rows = corpus.collect().map { r =>
+      val ws = r.getString(1).trim
+      (r.getString(2), if (ws.isEmpty) 0L else ws.split("\\s+").length.toLong)
+    }
+    val td = rows.length.toDouble
+    val tt = rows.map(_._2).sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val (docs, toks) = (g.length.toLong, g.map(_._2).sum)
+      assert(got(src) == ((docs, toks, r6(docs / td), r6(toks / tt))), src)
+    }
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("dropListFromPairs is generic: exact ngram pairs collapse to the same decision as LSH") {
     val pairs = Dedup.ngramJaccardNearDuplicates(docsDf, col("text"), col("doc_id"),
       threshold = 0.5)
