@@ -212,6 +212,44 @@ class PipelineSpec extends AnyFunSuite {
       "30 non-null ids exist; null ids must not displace any of them")
   }
 
+  test("seeded random corpus: repetition + decontamination match brute force") {
+    // small vocab forces heavy bigram collisions and shingle overlap —
+    // the regimes where a run-length or prefix bug would surface
+    val rnd = new scala.util.Random(2026)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "gg")
+    val corpus = (0 until 120).map { i =>
+      val n = rnd.nextInt(9) // 0..8 words — includes zero-word docs
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val gotRep = TextAnalysis.repetitionStats(corpus, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getLong(4)))).toMap
+    corpus.collect().foreach { r =>
+      val ws = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+      val bg = if (ws.size < 2) Seq.empty[String]
+               else ws.sliding(2).map(_.mkString(" ")).toSeq
+      val top = if (bg.isEmpty) 0L else bg.groupBy(identity).values.map(_.size).max.toLong
+      assert(gotRep(r.getLong(0)) == ((bg.size, top)), s"doc ${r.getLong(0)}")
+    }
+
+    val evalSet = corpus.where(col("doc_id") % 7 === 0)
+    val rest = corpus.where(col("doc_id") % 7 =!= 0)
+    val gotCon = Dedup.contaminatedDocs(rest, col("text"), col("doc_id"),
+        evalSet, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shingle = (ws: Seq[String]) =>
+      if (ws.isEmpty) Set.empty[String] // the "" sentinel never contaminates
+      else if (ws.size <= 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    val evalSh = evalSet.collect()
+      .flatMap(r => shingle(r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)).toSet
+    rest.collect().foreach { r =>
+      val mine = shingle(r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+      val overlap = (mine intersect evalSh).size.toLong
+      assert(gotCon.getOrElse(r.getLong(0), 0L) == overlap, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("mixtureReport: shares sum to 1 and match a driver recompute") {
     import graft.pipeline.Sampling
     val corpus = docsDf.withColumn("source",
