@@ -122,6 +122,10 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.forall(l => l.contains("doc_id#") || l.contains("_s#")),
       "unexpected exchange keys:\n" + p)
+    // and no inferred filter may re-inline the staged O(words²) shingle
+    // lambda below the Generate (the known explode hazard)
+    assert(!p.linesIterator.exists(l => l.contains("Filter") && l.contains("array_join")),
+      "shingle lambda re-inlined into a Filter:\n" + p)
   }
 
   test("row checks compile to a single scan with zero shuffles before the verdict agg") {
