@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked runMain's stdout/stderr through RAW (no [info]/[error]
+// log prefixes): the bench/verify driver parses a bare JSON line from the
+// output, and sbt's default LoggedOutput prefix made it unparseable
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

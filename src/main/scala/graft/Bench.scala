@@ -83,12 +83,21 @@ object Bench {
         "graft.tools.ScalingLeg", rows.toString, cpus.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // redirect stdout to a temp file so the 600 s timeout is live:
+      // readAllBytes() on the pipe would block until the child closes
+      // stdout, making waitFor(timeout) dead code under a hung child
+      val outFile = java.io.File.createTempFile("graft_leg_", ".out")
+      outFile.deleteOnExit()
+      pb.redirectOutput(outFile)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       val ok = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
       if (!ok) { proc.destroyForcibly(); None }
-      else out.linesIterator.collectFirst {
-        case l if l.startsWith("LEG ") => l.drop(4).trim.toDouble
+      else {
+        val out = new String(
+          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+        out.linesIterator.collectFirst {
+          case l if l.startsWith("LEG ") => l.drop(4).trim.toDouble
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] isolated leg failed (${e.getMessage}); in-JVM fallback")
@@ -121,6 +130,12 @@ object Bench {
         "org.apache.spark.rpc.netty", off)
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.execution.streaming.state.StateStore", off)
+      // the deliberate 4096-char plan-string cap (ScalingBench.session)
+      // makes PlanStringConcat WARN "Truncated the string representation…"
+      // once per rendered plan — an 85 kB suite plan put that line in the
+      // r3 artifact tail; the truncation is wanted, the warning is not
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.util", off)
     } catch { case _: Throwable => () }
 
     // one warm session: generate inputs if absent + JIT/codegen warmup, then
@@ -188,7 +203,15 @@ object Bench {
     def arr(v: Vector[Double]) = v.map(t => f"$t%.2f").mkString("[", ",", "]")
     val allN = arr(times((nCores, scalingRows)))
     val all4N = arr(times((4 * nCores, scalingRows)))
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$benchRows,"cpus":$cpus,"reps":$reps,"batt_reps":$battReps,"scaling":{"rows":$scalingRows,"n_cores":$nCores,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"tput_n":${scalingRows / secN}%.0f,"tput_4n":${scalingRows / sec4N}%.0f,"efficiency":$eff%.3f,"pair_reps":$pairReps,"all_n":$allN,"all_4n":$all4N}}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validated_seq_per_sec":$seqPerSec%.0f,"bench_rows":$benchRows,"cpus":$cpus,"reps":$reps,"batt_reps":$battReps,"scaling":{"rows":$scalingRows,"n_cores":$nCores,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"tput_n":${scalingRows / secN}%.0f,"tput_4n":${scalingRows / sec4N}%.0f,"efficiency":$eff%.3f,"pair_reps":$pairReps,"all_n":$allN,"all_4n":$all4N}}"""
+    // dedicated channels (VERDICT r3 #3): the JSON line goes to stdout RAW
+    // (build.sbt's StdoutOutput strategy strips sbt's [info] prefix) AND to
+    // a file, so the driver can parse either even if a logger interleaves
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
   }
 }

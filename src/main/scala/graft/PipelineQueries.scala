@@ -595,8 +595,8 @@ object PipelineQueries {
                       FROM documents GROUP BY source),
           t AS (SELECT sum(docs) AS td, sum(tokens) AS tt FROM pk)
           SELECT source, docs, tokens,
-                 round(docs::DOUBLE / td, 6) AS doc_frac,
-                 round(tokens::DOUBLE / tt, 6) AS token_frac
+                 floor(docs::DOUBLE * 1000000.0 / td::DOUBLE)::BIGINT AS doc_ppm,
+                 floor(tokens::DOUBLE * 1000000.0 / tt::DOUBLE)::BIGINT AS token_ppm
           FROM pk CROSS JOIN t ORDER BY source""",
     // the oracle counts per-distinct-bigram occurrences (n² at test scale);
     // the engine's run-length-over-sorted derivation must agree exactly

@@ -8,6 +8,14 @@ object Verify {
     // extra args = run (and dump oracles for) only the named queries —
     // local iteration aid; the driver always passes exactly two
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    // fail fast on typos: an unknown name would otherwise produce an empty
+    // output dir + empty oracle_sql.json with exit 0 — reads as a pass
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     def wanted(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -51,13 +51,22 @@ object Sampling {
       .drop("_mh", "_rn")
   }
 
-  /** Data-MIXTURE report per key: `(key, docs, tokens, doc_frac,
-    * token_frac)` — the per-source share table a mixing step samples
+  /** Data-MIXTURE report per key: `(key, docs, tokens, doc_ppm,
+    * token_ppm)` — the per-source share table a mixing step samples
     * against. One partial-aggregated groupBy over the corpus; the global
     * totals join is |keys|-sized (aggregate-over-aggregate, no second
     * scan: Catalyst collapses the totals derivation onto the same
     * aggregate output). Token counts use the whitespace tokenizer
-    * ([[TextAnalysis.wsTokenCount]]) so the oracle twin is exact. */
+    * ([[TextAnalysis.wsTokenCount]]) so the oracle twin is exact.
+    *
+    * Shares are HASH-STABLE integers: parts-per-million as
+    * `floor(docs * 1e6 / total)` BIGINT, the same IEEE double expression
+    * (cast → multiply → divide → floor) evaluated in the DuckDB oracle
+    * twin. The previous `round(double, 6)` fractions could diverge by one
+    * ulp between engines (Spark rounds the decimal expansion HALF_UP via
+    * BigDecimal; DuckDB std::rounds the scaled binary double) — exactly
+    * the class of divergence a bit-exact hash gate rejects. floor of a
+    * shared-bit-pattern double is exact by construction. */
   def mixtureReport(df: DataFrame, key: String, text: String): DataFrame = {
     val perKey = df.groupBy(col(key))
       .agg(count(lit(1)).as("docs"),
@@ -65,7 +74,9 @@ object Sampling {
     val totals = perKey.agg(sum(col("docs")).as("_td"), sum(col("tokens")).as("_tt"))
     perKey.crossJoin(totals)
       .select(col(key), col("docs"), col("tokens"),
-        round(col("docs").cast("double") / col("_td"), 6).as("doc_frac"),
-        round(col("tokens").cast("double") / col("_tt"), 6).as("token_frac"))
+        floor(col("docs").cast("double") * lit(1000000.0) / col("_td").cast("double"))
+          .as("doc_ppm"),
+        floor(col("tokens").cast("double") * lit(1000000.0) / col("_tt").cast("double"))
+          .as("token_ppm"))
   }
 }

@@ -250,25 +250,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("mixtureReport: shares sum to 1 and match a driver recompute") {
+  test("mixtureReport: ppm shares match a driver recompute and sum to ~1e6") {
     import graft.pipeline.Sampling
     val corpus = docsDf.withColumn("source",
       when(col("doc_id") <= 2, lit("web")).otherwise(lit("books")))
     val got = Sampling.mixtureReport(corpus, "source", "text")
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     val rows = corpus.collect().map { r =>
       val ws = r.getString(1).trim
       (r.getString(2), if (ws.isEmpty) 0L else ws.split("\\s+").length.toLong)
     }
     val td = rows.length.toDouble
     val tt = rows.map(_._2).sum.toDouble
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same IEEE expression as both engines: cast → ×1e6 → ÷ → floor
+    def ppm(x: Long, t: Double) = math.floor(x.toDouble * 1000000.0 / t).toLong
     rows.groupBy(_._1).foreach { case (src, g) =>
       val (docs, toks) = (g.length.toLong, g.map(_._2).sum)
-      assert(got(src) == ((docs, toks, r6(docs / td), r6(toks / tt))), src)
+      assert(got(src) == ((docs, toks, ppm(docs, td), ppm(toks, tt))), src)
     }
-    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+    // floors can undershoot by at most one ppm per key
+    val s = got.values.map(_._3).sum
+    assert(s <= 1000000L && s >= 1000000L - got.size)
+  }
+
+  test("mixtureReport ppm is floor-exact on a near-boundary fixture") {
+    import graft.pipeline.Sampling
+    // 3 sources / 7 docs: 3/7 = 0.428571428571... — a repeating binary
+    // expansion where round-to-6-digits was ulp-fragile across engines;
+    // floor-ppm must give exactly 428571.
+    val rows = (1 to 7).map(i =>
+      (i.toLong, "w " * i, if (i <= 3) "a" else if (i <= 6) "b" else "c"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source")
+    val got = Sampling.mixtureReport(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("a" -> 428571L, "b" -> 428571L, "c" -> 142857L))
   }
 
   test("dropListFromPairs is generic: exact ngram pairs collapse to the same decision as LSH") {

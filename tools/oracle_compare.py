@@ -1,14 +1,22 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle gate.
 
-Usage: python3 tools/oracle_compare.py [sfDir] [voutDir]
+Usage: python3 tools/oracle_compare.py [sfDir] [voutDir] [--tolerant]
 Compares each /tmp/vout/<name>/*.parquet against its oracle SQL run in
 DuckDB over the sfDir parquet tables; prints per-query MATCH / MISMATCH.
-"""
-import duckdb, json, sys, decimal, hashlib
 
-sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
-vout = sys.argv[2] if len(sys.argv) > 2 else '/tmp/vout'
+Floats compare BIT-EXACT (IEEE-754 struct pack) by default — the driver
+hashes exact values, so the local pre-flight gate must be at least as
+strict. `--tolerant` restores the old round-to-6-digits compare for
+DIAGNOSIS ONLY (to tell "one ulp off" from "wrong answer"); a tolerant
+MATCH is never shippable evidence.
+"""
+import duckdb, json, sys, decimal, struct
+
+args = [a for a in sys.argv[1:] if a != '--tolerant']
+TOLERANT = '--tolerant' in sys.argv[1:]
+sf = args[0] if len(args) > 0 else '/root/testdata/sf0.01'
+vout = args[1] if len(args) > 1 else '/tmp/vout'
 
 con = duckdb.connect()
 for t in ['documents', 'lineitem', 'orders', 'customer', 'nation', 'region',
@@ -17,9 +25,13 @@ for t in ['documents', 'lineitem', 'orders', 'customer', 'nation', 'region',
 
 def norm(v):
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        v = float(v)
     if isinstance(v, float):
-        return round(v, 6)
+        if TOLERANT:
+            return round(v, 6)
+        # bit-exact: two floats are equal iff their IEEE-754 bits are
+        # (treats -0.0 != 0.0 and distinguishes ulps, like a hash would)
+        return ('f64', struct.pack('<d', v))
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
@@ -54,7 +66,8 @@ for name in sorted(oracle):
         print(f"{name}: ROW MISMATCH rows spark={len(sr)} oracle={len(orr)} first_diffs={diff}")
         fails += 1
     else:
-        print(f"{name}: MATCH ({len(sr)} rows)")
+        tag = ' [tolerant]' if TOLERANT else ''
+        print(f"{name}: MATCH ({len(sr)} rows){tag}")
 no_oracle = [d for d in __import__('os').listdir(vout)
              if d != 'oracle_sql.json' and d not in oracle]
 for d in sorted(no_oracle):
