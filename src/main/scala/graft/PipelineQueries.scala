@@ -234,6 +234,35 @@ object PipelineQueries {
           k = 5, numCentroids = 16, dim = 64, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
+    "p_ann_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKWith(e, col("vec_id"), col("embedding"),
+          e.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+          trainedCents(s, dir).map(_.map(_.toDouble)), k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // one row: hit counts of trained vs seeded IVF against the brute-force
+    // ground truth at the SAME probe budget; the oracle (dynamicOracles)
+    // recomputes both counts in DuckDB and pins trained_not_worse to TRUE
+    "p_ann_recall_claim" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      def ids(df: DataFrame) = df.select(col("query_id"), col("corpus_id"))
+      val gt = ids(Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10))
+      val tr = ids(Similarity.ivfTopKWith(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        trainedCents(s, dir).map(_.map(_.toDouble)), k = 10, nprobe = 4))
+      val sd = ids(Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        k = 10, numCentroids = 16, dim = 64, nprobe = 4))
+      val ht = tr.join(gt, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits_trained"))
+      val hs = sd.join(gt, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits_seeded"))
+      ht.crossJoin(hs).select(col("hits_trained"), col("hits_seeded"),
+        (col("hits_trained") >= col("hits_seeded")).as("trained_not_worse"))
+    }),
 
     // -- dynamic-JSON (variant) mode ----------------------------------------
     "v_json_props_violations" -> ((s, dir) => {
@@ -370,6 +399,126 @@ object PipelineQueries {
     Similarity.centroids(16, 64).zipWithIndex
       .map { case (v, i) => s"(${i + 1}, ${Seeded.sqlList(v)}::DOUBLE[])" }
       .mkString(", ")
+
+  /** TRAINED centroid matrix per sf dir (spherical k-means on a
+    * deterministically ordered 512-vector sample, quantized to an int grid
+    * — Similarity.trainCentroidsQuantized). Cached so the query plan and
+    * the Verify-time generated oracle SQL embed the IDENTICAL matrix. */
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Int]]]()
+  def trainedCents(s: SparkSession, dir: String): Array[Array[Int]] =
+    trainedCache.getOrElseUpdate(dir, {
+      // sample size must keep pace with corpus size: 512 vectors trained
+      // centroids that LOST to seeded ones on the 2000-vector sf0.1 corpus
+      // (23 vs 28 ground-truth hits) — 4096 covers every test corpus while
+      // staying a trivially driver-sized training set
+      val sample = Similarity.sampleVectors(
+        emb(s, dir).orderBy("vec_id"), col("embedding"), 4096)
+      Similarity.trainCentroidsQuantized(sample, k = 16, iters = 20)
+    })
+  private def trainedSqlValues(s: SparkSession, dir: String): String =
+    trainedCents(s, dir).zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ${Seeded.sqlList(v)}::DOUBLE[])" }
+      .mkString(", ")
+
+  /** IVF top-k oracle SQL parameterized by the literal centroid VALUES —
+    * shared by the seeded (static) and trained (Verify-time) variants. */
+  private def ivfTopkSql(centsVals: String, k: Int, nprobe: Int): String =
+    s"""WITH cents(cid, cv) AS (VALUES $centsVals),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cscore AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS s
+                   FROM e CROSS JOIN cents c),
+        assign AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY s DESC, cid) AS rn
+                     FROM cscore) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY s DESC, cid) AS rn
+                     FROM cscore WHERE vec_id < 5) WHERE rn <= $nprobe),
+        scored AS (SELECT p.query_id, a.vec_id AS corpus_id,
+                          ${cosSql("cv2.v", "qv.v")} AS cos
+                   FROM probes p
+                   JOIN assign a ON a.cid = p.cid
+                   JOIN e cv2 ON cv2.vec_id = a.vec_id
+                   JOIN e qv ON qv.vec_id = p.query_id
+                   WHERE a.vec_id != p.query_id),
+        ranked AS (SELECT query_id, corpus_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, corpus_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank::INT AS rank, corpus_id, round(cos, 4) AS cos
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** One parameterized IVF top-k SET (query_id, corpus_id) as CTEs named
+    * with suffix `p` over centroid cte `cents` — composed twice by the
+    * recall-claim oracle. */
+  private def ivfSetCtes(p: String, cents: String, k: Int, nprobe: Int): String =
+    s"""cs$p AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS s
+                 FROM e CROSS JOIN $cents c),
+        asg$p AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY s DESC, cid) AS rn
+                   FROM cs$p) WHERE rn = 1),
+        pr$p AS (SELECT vec_id AS query_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY s DESC, cid) AS rn
+                   FROM cs$p WHERE vec_id < 5) WHERE rn <= $nprobe),
+        scd$p AS (SELECT p.query_id, a.vec_id AS corpus_id,
+                         ${cosSql("cv2.v", "qv.v")} AS cos
+                  FROM pr$p p
+                  JOIN asg$p a ON a.cid = p.cid
+                  JOIN e cv2 ON cv2.vec_id = a.vec_id
+                  JOIN e qv ON qv.vec_id = p.query_id
+                  WHERE a.vec_id != p.query_id),
+        top$p AS (SELECT query_id, corpus_id FROM (
+                   SELECT query_id, corpus_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, corpus_id) AS rank
+                   FROM scd$p) WHERE rank <= $k)"""
+
+  /** Recall-CLAIM oracle: recomputes ground truth (brute-force top-10) and
+    * both IVF top-10 sets (trained + seeded) entirely in DuckDB, emits the
+    * two hit counts — and pins `trained_not_worse` to literal TRUE, so a
+    * trained matrix that fails to beat-or-match the seeded baseline at the
+    * same probe budget is a hash MISMATCH, not a silently-agreeing row. */
+  private def recallClaimSql(trainedVals: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        tc(cid, cv) AS (VALUES $trainedVals),
+        sc(cid, cv) AS (VALUES $centroidsSqlValues),
+        gt AS (SELECT query_id, corpus_id FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                                           ORDER BY ${cosSql("c.v", "q.v")} DESC,
+                                                    c.vec_id) AS rank
+                 FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+                 WHERE c.vec_id != q.vec_id) WHERE rank <= 10),
+        ${ivfSetCtes("t", "tc", 10, 4)},
+        ${ivfSetCtes("s", "sc", 10, 4)}
+        SELECT
+          (SELECT count(*) FROM topt t JOIN gt g
+             ON t.query_id = g.query_id AND t.corpus_id = g.corpus_id)
+            AS hits_trained,
+          (SELECT count(*) FROM tops t JOIN gt g
+             ON t.query_id = g.query_id AND t.corpus_id = g.corpus_id)
+            AS hits_seeded,
+          true AS trained_not_worse"""
+
+  /** Oracles that must be generated at Verify time because they embed
+    * DATA-DEPENDENT literals (the trained centroid matrix differs per sf
+    * dir, while `SparkEntry.oracleSql` is static) — Verify evaluates these
+    * with the live session + sf dir and merges them into oracle_sql.json,
+    * so the driver's DuckDB gate covers the trained path too. */
+  val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "p_ann_ivf_trained" -> ((s, dir) =>
+      ivfTopkSql(trainedSqlValues(s, dir), k = 5, nprobe = 4)),
+    "p_ann_recall_claim" -> ((s, dir) =>
+      recallClaimSql(trainedSqlValues(s, dir)))
+  )
 
   private val hyperplanesSqlValues: String =
     Seeded.matrix(12, 64, 42L).zipWithIndex
@@ -666,34 +815,7 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rank::INT AS rank, corpus_id, round(cos, 4) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
-    "p_ann_ivf_topk" ->
-      s"""WITH cents(cid, cv) AS (VALUES $centroidsSqlValues),
-          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          cscore AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS s
-                     FROM e CROSS JOIN cents c),
-          assign AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid,
-                              row_number() OVER (PARTITION BY vec_id
-                                                 ORDER BY s DESC, cid) AS rn
-                       FROM cscore) WHERE rn = 1),
-          probes AS (SELECT vec_id AS query_id, cid FROM (
-                       SELECT vec_id, cid,
-                              row_number() OVER (PARTITION BY vec_id
-                                                 ORDER BY s DESC, cid) AS rn
-                       FROM cscore WHERE vec_id < 5) WHERE rn <= 4),
-          scored AS (SELECT p.query_id, a.vec_id AS corpus_id,
-                            ${cosSql("cv2.v", "qv.v")} AS cos
-                     FROM probes p
-                     JOIN assign a ON a.cid = p.cid
-                     JOIN e cv2 ON cv2.vec_id = a.vec_id
-                     JOIN e qv ON qv.vec_id = p.query_id
-                     WHERE a.vec_id != p.query_id),
-          ranked AS (SELECT query_id, corpus_id, cos,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY cos DESC, corpus_id) AS rank
-                     FROM scored)
-          SELECT query_id, rank::INT AS rank, corpus_id, round(cos, 4) AS cos
-          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "p_ann_ivf_topk" -> ivfTopkSql(centroidsSqlValues, k = 5, nprobe = 4),
     "v_json_props_violations" ->
       """WITH k AS (SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS kv,
                            json_extract(props, '$.k') IS NOT NULL AS has_k

@@ -36,4 +36,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** Oracles whose SQL embeds DATA-DEPENDENT literals (e.g. the trained
+    * IVF centroid matrix, which differs per sf dir) — Verify evaluates
+    * these against the live session + sf dir and merges the results into
+    * oracle_sql.json alongside the static map. */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    PipelineQueries.dynamicOracles
 }

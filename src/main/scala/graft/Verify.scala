@@ -46,7 +46,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(o => wanted(o._1))
+    // dynamic oracles (data-dependent literals, e.g. trained centroids)
+    // are rendered against THIS run's session + sf dir, then merged
+    val dynamic = SparkEntry.dynamicOracleSql.filter(o => wanted(o._1))
+      .map { case (k, fn) => k -> fn(spark, sfDir) }
+    val json = (SparkEntry.oracleSql.filter(o => wanted(o._1)) ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -105,6 +105,23 @@ object Similarity {
     cents
   }
 
+  /** Trained-then-QUANTIZED centroids: spherical k-means, then each unit
+    * center rounded onto an integer grid (× `scale`). Cosine is
+    * scale-invariant, so assignment/probing semantics are unchanged up to
+    * the 1/scale quantization error (~1e-4 per component — negligible next
+    * to the trained-vs-seeded recall gap), and INTEGER-valued centroid
+    * literals keep every cross-engine dot product exact: int×int products
+    * and their 64-term sums stay far below 2^53, so Spark's sequential
+    * fold and DuckDB's list_dot_product agree bit-for-bit regardless of
+    * summation order — which lets the trained matrix be embedded verbatim
+    * in a generated DuckDB oracle (the driver gate) with zero FP-order
+    * risk. Arbitrary double centroids would not have that property. */
+  def trainCentroidsQuantized(sample: Array[Array[Double]], k: Int,
+                              iters: Int = 10, seed: Long = 7L,
+                              scale: Int = 10000): Array[Array[Int]] =
+    trainCentroids(sample, k, iters, seed)
+      .map(_.map(x => math.round(x * scale).toInt))
+
   private def dotD(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
