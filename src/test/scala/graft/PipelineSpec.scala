@@ -508,4 +508,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() > 0)
     assert(frames.select(min(col("frame_idx"))).collect()(0).getInt(0) == 0)
   }
+
+  test("multimodal: corrupt payloads become sentinel rows the spec flags, not task failures") {
+    import spark.implicits._
+    val good = Multimodal.syntheticMedia(spark, 6)
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(1000L, "image", Array[Byte](1, 2, 3, 4, 5)),
+      Multimodal.MediaRow(1001L, "image", Array.empty[Byte])))
+    val meta = Multimodal.decodeMeta(good.union(bad)).collect()
+    assert(meta.length == 8) // no abort
+    val sentinels = meta.filter(_.width == -1)
+    assert(sentinels.map(_.doc_id).sorted.toSeq == Seq(1000L, 1001L))
+    assert(sentinels.forall(m => m.height == -1 && m.n_frames == 0))
+    // the MediaSpecJson validation quarantines exactly the sentinel rows
+    val metaDf = Multimodal.decodeMeta(good.union(bad)).toDF()
+    val checks = graft.compile.Compiler.compile(
+      SpecParser.parse(Multimodal.MediaSpecJson), metaDf.schema)
+    val v = Validator.run(metaDf.withColumn("part", lit("all")), checks, "doc_id", Some("part"))
+    assert(v.violations.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1000L, 1001L))
+  }
+
+  test("audio: JDK WAV round-trip decodes header fields per the generator contract") {
+    val got = Multimodal.decodeAudioMeta(Multimodal.syntheticAudio(spark, 30)).collect()
+    assert(got.length == 30)
+    got.foreach { m =>
+      val id = m.doc_id
+      assert(m.sample_rate == Array(8000, 16000, 44100)((id % 3).toInt), s"sr of $id")
+      assert(m.channels == 1 + (id % 2).toInt, s"ch of $id")
+      assert(m.bits == 16)
+      assert(m.n_samples == 100 + (id % 400), s"frames of $id")
+      assert(m.n_bytes == 44 + m.n_samples * m.channels * 2, s"bytes of $id")
+    }
+    // a non-audio payload yields the audio sentinel, not a task failure
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "audio", Array[Byte](9, 9, 9, 9))))
+    val s = Multimodal.decodeAudioMeta(bad).collect().head
+    assert(s.sample_rate == -1 && s.channels == -1 && s.n_samples == 0L)
+  }
 }
