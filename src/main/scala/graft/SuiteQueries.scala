@@ -77,18 +77,16 @@ object SuiteQueries {
       source.as("source"), part.as("part"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "suite_e2e_verdicts" -> ((s, dir) =>
-      graft.run.Suite.validateSequences(seqFromEvents(s, dir),
-          graft.data.SequenceGen.dimSources(s))
-        .verdicts.drop("rank").repartition(1).sortWithinPartitions("part", "constraint_id")))
-
   // -- oracle ----------------------------------------------------------------
 
   /** DuckDB twin of the derived table — flags instead of the token list
-    * (the constraint outcomes are pure functions of the arithmetic). */
-  private val seqSql =
-    s"""seq AS (
+    * (the constraint outcomes are pure functions of the arithmetic).
+    * `pred` restricts the VALIDATED INPUT (not just the output): every
+    * downstream verdict — totals, uniqueness, drift baselines — is derived
+    * from the filtered relation, exactly like running the suite over a
+    * partition subset. */
+  private def seqSql(pred: String) =
+    s"""seq_all AS (
          SELECT id, part, doc_id, n_tok, size_tokens, bad_token, source FROM (
            SELECT id, 'p' || (id % $Parts) AS part,
                   'doc-' || lpad(CASE WHEN id % $HotMod = $HotRes THEN id % 3
@@ -116,7 +114,8 @@ object SuiteQueries {
                            THEN greatest(floor(((event_id * $LenMix % $LenPrime) % $MaxLen + 1) / 2.0), 1)::INT
                            ELSE ((event_id * $LenMix % $LenPrime) % $MaxLen + 1)::INT END AS len,
                       (event_id * $SrcMixA + $SrcMixB) % $SrcPrime % 10 AS srcb
-               FROM events))))"""
+               FROM events)))),
+       seq AS (SELECT * FROM seq_all WHERE $pred)"""
 
   /** Smoothed-KL divergence per part (mirrors Drift.divergenceFromHistogram
     * with smoothing 0.5, including its null-bucket join semantics). */
@@ -142,9 +141,12 @@ object SuiteQueries {
     "dataset/unique:doc_id",
     "dataset/referential:source")
 
-  private val suiteOracle: String = {
+  /** Full per-part verdict derivation over the `pred`-filtered input;
+    * `extraUnion` appends rows with the same 5-column shape (the resume
+    * query's checkpoint rows). */
+  private def suiteOracleFor(pred: String, extraUnion: String = ""): String = {
     val cidValues = verdictIds.map(i => s"('$i')").mkString(", ")
-    s"""WITH $seqSql,
+    s"""WITH ${seqSql(pred)},
         tot AS (SELECT part, count(*) AS total FROM seq GROUP BY 1),
         dupdocs AS (SELECT doc_id FROM seq GROUP BY doc_id HAVING count(*) > 1),
         vio AS (
@@ -190,8 +192,60 @@ object SuiteQueries {
           UNION ALL
           SELECT part, 'dataset/drift:source', total::BIGINT,
                  CASE WHEN kl <= 0.05 THEN 0 ELSE 1 END, kl <= 0.05 FROM ds_kl
+          $extraUnion
         ) ORDER BY part, constraint_id"""
   }
 
-  val oracles: Map[String, String] = Map("suite_e2e_verdicts" -> suiteOracle)
+  private val suiteOracle: String = suiteOracleFor("true")
+
+  /** x_resume oracle: run 2 must have validated EXACTLY parts p4..p7 (the
+    * full suite derivation over that input subset — totals, uniqueness and
+    * drift baselines all computed within the subset, which is what
+    * validateSequences sees after the resume filter), and the store must
+    * hold run-1 checkpoint rows for EXACTLY p0..p3 with the right totals. */
+  private val resumeOracle: String = suiteOracleFor(
+    s"id % $Parts >= ${Parts / 2}",
+    s"""UNION ALL
+        SELECT 'p' || (event_id % $Parts) AS part,
+               'checkpoint/validated' AS constraint_id,
+               count(*) AS total, 0::BIGINT AS violations, true AS pass
+        FROM events WHERE event_id % $Parts < ${Parts / 2} GROUP BY 1""")
+
+  /** Driver-gated checkpoint/resume (VERDICT r3 #6): run 1 validates a
+    * partition subset and appends the metrics store; run 2 is handed the
+    * FULL table and must resume — `store.remaining` prunes the validated
+    * partitions, so its verdicts cover exactly the complement. The output
+    * unions run-2 verdicts with the store's run-1 checkpoint rows; a
+    * resume that re-validates (duplicate parts in run 2), fails to skip,
+    * or records wrong per-part totals is a row/hash mismatch against the
+    * independent derivation above. */
+  def resumedVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.stats.MetricsStore(
+      java.nio.file.Files.createTempDirectory("graft_resume_")
+        .resolve("store").toString)
+    val dim = graft.data.SequenceGen.dimSources(s)
+    val full = seqFromEvents(s, dir)
+    val firstHalf = (0 until Parts / 2).map(i => s"p$i")
+    graft.run.Suite.resumableRun(
+      full.where(col("part").isin(firstHalf: _*)), dim, store, runEpoch = 1L)
+    val run2 = graft.run.Suite.resumableRun(full, dim, store, runEpoch = 2L)
+      .getOrElse(sys.error("resume had nothing left to validate"))
+    val checkpointed = store.read(s)
+      .where(col("run_epoch") === 1L)
+      .select(col("part"), lit("checkpoint/validated").as("constraint_id"),
+        col("total"), lit(0L).as("violations"), lit(true).as("pass"))
+    run2.verdicts.drop("rank").unionByName(checkpointed)
+      .repartition(1).sortWithinPartitions("part", "constraint_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "suite_e2e_verdicts" -> ((s, dir) =>
+      graft.run.Suite.validateSequences(seqFromEvents(s, dir),
+          graft.data.SequenceGen.dimSources(s))
+        .verdicts.drop("rank").repartition(1).sortWithinPartitions("part", "constraint_id")),
+    "x_resume" -> (resumedVerdicts _))
+
+  val oracles: Map[String, String] = Map(
+    "suite_e2e_verdicts" -> suiteOracle,
+    "x_resume" -> resumeOracle)
 }

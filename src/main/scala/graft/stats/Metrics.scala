@@ -97,7 +97,10 @@ final case class MetricsStore(dir: String) extends ValidationStateStore {
   def completedParts(spark: SparkSession, specHash: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty
+    // an existing-but-EMPTY prefix (pre-created bucket/dir, or a store that
+    // never completed an append) is a legitimate fresh-store state — treat
+    // it like absence instead of failing parquet schema inference
+    if (!fs.exists(path) || fs.listStatus(path).isEmpty) Seq.empty
     else read(spark)
       .where(col("spec_hash") === specHash)
       .select(col("part").cast("string")).distinct()
