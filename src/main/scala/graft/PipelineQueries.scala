@@ -42,11 +42,78 @@ object PipelineQueries {
       .select(explode(sequence(lit(0), lit(11))).as("i"), col("doc_id"), col("text"))
       .select((col("doc_id") * 100 + col("i")).as("doc_id"), col("text"))
 
+  /** Session tuned so AQE's skew-join clause is OBSERVABLE at test scale:
+    * broadcast off (forces the shuffled join-back regime), low skew/advisory
+    * thresholds (events is 10³..10⁵ rows here; production sizes hit the
+    * defaults the same way). `newSession()` isolates the conf from the
+    * shared battery session. */
+  private def skewSession(s: SparkSession): SparkSession = {
+    val sess = s.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    sess
+  }
+
+  /** Uniqueness under a PLANTED 30%-hot-key regime (VERDICT r3 #7): ONE
+    * hot doc_id carries 30% of the table (splitting the heat across several
+    * keys dilutes each hot partition below AQE's skewedPartitionFactor —
+    * measured: 3×10% keys land ~1.8× the median, no split), every other
+    * key unique; `part` is the high-entropy md5 column so the hot shuffle
+    * partition can't compress below the skew threshold — the uniqueness
+    * join projects to exactly (part, key) before the exchange, so entropy
+    * anywhere else is pruned away and skew detection (which reads
+    * COMPRESSED map output sizes) sees a tiny all-identical partition.
+    * `hot = false` is the uniform twin (identical derivation, no hot key)
+    * so the bench battery carries a direct skewed-vs-uniform wall-clock
+    * pair. The hot arm ASSERTS the AQE skew split fired in the executed
+    * final plan (isSkewJoin) — a run where the split didn't happen fails
+    * the query, so the green driver row pins plan shape AND numbers in
+    * the same run. Output is the dup-key violation summary (one row per
+    * duplicated key with its dup count and violation-row count). */
+  private def skewedUniqueness(s: SparkSession, dir: String, hot: Boolean): DataFrame = {
+    val sess = skewSession(s)
+    val id = col("event_id")
+    val uniform = concat(lit("k"), id.cast("string"))
+    val key =
+      if (hot) when(pmod(id, lit(10)) < 3, lit("hot")).otherwise(uniform)
+      else uniform
+    // AQE splits a skewed reduce partition at MAP-TASK boundaries — the
+    // one-file test parquet is a single input split, i.e. one mapper and
+    // nothing to split at (measured: no skew= flag ever appears). A
+    // round-robin repartition gives the exchange 16 map tasks, the local
+    // stand-in for the many input splits any production table has.
+    val df = sess.read.parquet(s"$dir/events.parquet").repartition(16).select(
+      key.as("doc_id"),
+      md5(id.cast("string")).as("part"))
+    val v = CrossRow.uniqueness(df, "doc_id", "part", checkpointDups = true)
+    if (hot) {
+      v.violations.collect() // execute → FINAL adaptive plan
+      val skewed = graft.tools.SuitePlanProbe
+        .walk(v.violations.queryExecution.executedPlan)
+        .exists {
+          case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            smj.isSkewJoin
+          case shj: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+            shj.isSkewJoin
+          case _ => false
+        }
+      require(skewed, "AQE did not skew-split the hot-key join-back partition")
+    }
+    v.violations.groupBy(col("doc_id"), col("observed"))
+      .agg(count(lit(1)).as("n")).orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- cross-row operators ------------------------------------------------
     "x_duplicate_keys" -> ((s, dir) =>
       CrossRow.duplicateKeys(docsWithDups(s, dir).withColumn("k", TextAnalysis.contentKey(col("text"))), "k")
         .orderBy("k")),
+    "x_skew_uniqueness" -> ((s, dir) => skewedUniqueness(s, dir, hot = true)),
+    "x_skew_uniform" -> ((s, dir) => skewedUniqueness(s, dir, hot = false)),
     "x_referential_orphans" -> ((s, dir) => {
       // drop every order of custkeys ≡ 3 (mod 10) so the anti-join has
       // guaranteed orphans to find at any sf
@@ -529,6 +596,15 @@ object PipelineQueries {
     "x_duplicate_keys" ->
       s"""SELECT $contentKeySql AS k, count(*) AS cnt
           FROM $docsWithDupsSql GROUP BY 1 HAVING count(*) > 1 ORDER BY k""",
+    // the ONE hot key (event_id % 10 < 3 → 30% of the table) is the only
+    // duplicate; every 'k'||id key is unique by construction
+    "x_skew_uniqueness" ->
+      """SELECT 'hot' AS doc_id,
+                count(*)::VARCHAR AS observed,
+                count(*) AS n
+         FROM events WHERE event_id % 10 < 3""",
+    "x_skew_uniform" ->
+      """SELECT 'x' AS doc_id, 'x' AS observed, 0::BIGINT AS n WHERE false""",
     "x_referential_orphans" ->
       """SELECT c_custkey FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
