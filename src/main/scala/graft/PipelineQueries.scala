@@ -694,9 +694,11 @@ object PipelineQueries {
           wd AS (SELECT doc_id, $normWords AS words FROM d),
           shd AS (SELECT doc_id, $shinglesSql AS sh FROM wd),
           dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM shd),
+          -- the '' zero-word sentinel is not shared content (operator twin)
           ex AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   WHERE a.s <> ''),
           ver AS (SELECT doc_a, doc_b,
                          len(list_intersect(x.sh, y.sh))::DOUBLE
                            / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard

@@ -264,6 +264,13 @@ object Dedup {
     // null shingle that every equi-join drops.
     val ex = shf.select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("set_size"), explode_outer(col("sh")).as("s"))
+      // zero-word docs shingle to the [""] sentinel (shinglesFromWords
+      // contract) — kept, every empty/punctuation-only doc would share the
+      // set {""} and form one mutual Jaccard-1.0 clique: semantically
+      // meaningless (no shared CONTENT) and a quadratic pair blowup at
+      // scale (ADVICE r3). Dropping the sentinel excludes zero-word docs
+      // from candidacy entirely; the DuckDB oracle twin filters the same.
+      .where(col("s") =!= "")
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("_df"), col("s"))

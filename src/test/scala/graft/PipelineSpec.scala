@@ -88,10 +88,17 @@ class PipelineSpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog and the cat sat on the mat"
     val variants = (0 until 12).map(i => (100L + i, base.replace("mat", s"mat$i")))
     val corpus = (docsDf.collect().map(r => (r.getLong(0), r.getString(1))) ++ variants ++
-      Seq((200L, "tiny doc"), (201L, "tiny doc")))
+      Seq((200L, "tiny doc"), (201L, "tiny doc"),
+        // zero-word docs shingle to the [""] sentinel and must NOT pair up
+        // with each other (ADVICE r3: the {""} clique is not shared content)
+        (300L, "???!!!"), (301L, "..."), (302L, "")))
       .toSeq.toDF("doc_id", "text")
     val shf = Dedup.shingleFrame(corpus, col("text"), col("doc_id"))
-    val sets = shf.select(col("doc_id"), array_distinct(col("_sh")).as("sh"))
+    // brute force over NON-SENTINEL shingle sets (zero-word docs have an
+    // empty real set and by definition can't reach any threshold > 0)
+    val sets = shf.select(col("doc_id"),
+        array_remove(array_distinct(col("_sh")), "").as("sh"))
+      .where(size(col("sh")) > 0)
     val bruteAll = sets.as("a").crossJoin(sets.as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
