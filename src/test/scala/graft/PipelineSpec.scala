@@ -381,6 +381,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("connected components converge in O(log d) rounds on a long chain") {
+    // a 64-node path has diameter 63: min-label propagation (the r3
+    // algorithm) needs 63 sequential rounds, so maxIter = 12 would throw.
+    // Large-star/small-star roughly doubles the collapsed distance per
+    // round — converging (plus the fixed-point confirmation round) well
+    // inside 12. Labels must still all collapse to the chain minimum, and a
+    // shuffled second component must not interfere.
+    val chain = (1L to 64L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val other = (100L to 120L).sliding(2).map(s => (s.last, s.head)).toSeq // reversed order
+    val pairs = scala.util.Random.shuffle(chain ++ other).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 64L).map(_ -> 1L).toMap ++ (100L to 120L).map(_ -> 100L).toMap
+    assert(labels == expected)
+  }
+
   test("simhash: identical text → same hash; near text → small hamming distance") {
     val hashes = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
