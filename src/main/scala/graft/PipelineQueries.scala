@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dataset.CrossRow
 import graft.drift.Drift
-import graft.pipeline.{Dedup, Hashing, Sampling, Seeded, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Hashing, Packing, Sampling, Seeded, Similarity, TextAnalysis}
 
 /** Query battery part 2: cross-row operators, drift, stats sketches,
   * dedup/text/similarity pipeline ops — each with a DuckDB oracle.
@@ -258,6 +258,17 @@ object PipelineQueries {
     "p_mixture" -> ((s, dir) =>
       Sampling.mixtureReport(docs(s, dir), "source", "text")
         .orderBy("source")),
+    "p_split_stats" -> ((s, dir) =>
+      Sampling.splitAssign(docs(s, dir), "doc_id", 10000L, 10000L, Hashing.Md5)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("bucket")).as("min_bucket"),
+          max(col("bucket")).as("max_bucket"))
+        .orderBy("source", "split")),
+    "p_pack_stats" -> ((s, dir) =>
+      Packing.packStats(docs(s, dir), TextAnalysis.wsTokenCount(col("text")),
+          col("doc_id"), col("source"), ctx = 256)
+        .orderBy("stream")),
 
     // -- text analysis ------------------------------------------------------
     "p_repetition" -> ((s, dir) =>
@@ -825,6 +836,41 @@ object PipelineQueries {
                  floor(docs::DOUBLE * 1000000.0 / td::DOUBLE)::BIGINT AS doc_ppm,
                  floor(tokens::DOUBLE * 1000000.0 / tt::DOUBLE)::BIGINT AS token_ppm
           FROM pk CROSS JOIN t ORDER BY source""",
+    // split membership is a pure function of md5(doc_id string) ppm
+    // buckets — min/max bucket per cell make the oracle hash-sensitive to
+    // every assignment, not just the counts
+    "p_split_stats" ->
+      s"""WITH b AS (SELECT source,
+                            (${h64("doc_id::VARCHAR")} % 1000000) AS bucket
+                     FROM documents),
+          s AS (SELECT source, bucket,
+                       CASE WHEN bucket < 10000 THEN 'val'
+                            WHEN bucket < 20000 THEN 'test'
+                            ELSE 'train' END AS split
+                FROM b)
+          SELECT source, split, count(*) AS docs,
+                 min(bucket) AS min_bucket, max(bucket) AS max_bucket
+          FROM s GROUP BY source, split ORDER BY source, split""",
+    // concat-and-chop placement re-derived from the same running sum; all
+    // bin arithmetic is BIGINT floor division (// here, div in Spark) so
+    // the compare is integer-exact
+    "p_pack_stats" ->
+      s"""WITH tk AS (SELECT doc_id, source AS stream,
+                             coalesce(($wsTokSql), 0)::BIGINT AS tok
+                      FROM documents),
+          c AS (SELECT stream, tok,
+                       sum(tok) OVER (PARTITION BY stream ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS e
+                FROM tk),
+          a AS (SELECT stream, tok,
+                       (e - tok) // 256 AS fb,
+                       (greatest(e, e - tok + 1) - 1) // 256 AS lb
+                FROM c)
+          SELECT stream, count(*) AS docs, sum(tok)::BIGINT AS total_tokens,
+                 ((sum(tok) + 255) // 256)::BIGINT AS n_bins,
+                 sum(CASE WHEN fb <> lb THEN 1 ELSE 0 END)::BIGINT AS straddling_docs,
+                 (((sum(tok) + 255) // 256) * 256 - sum(tok))::BIGINT AS tail_waste
+          FROM a GROUP BY stream ORDER BY stream""",
     // the oracle counts per-distinct-bigram occurrences (n² at test scale);
     // the engine's run-length-over-sorted derivation must agree exactly
     "p_repetition" ->

@@ -79,4 +79,34 @@ object Sampling {
         floor(col("tokens").cast("double") * lit(1000000.0) / col("_tt").cast("double"))
           .as("token_ppm"))
   }
+
+  /** Deterministic train/val/test split assignment — the leakage-safe way
+    * to carve held-out sets out of a training corpus: membership is a pure
+    * function of the row key (`bucket = hash(docId string) mod 10⁶`,
+    * ppm thresholds carve `val` then `test` off the low buckets), so the
+    * same document lands in the same split across runs, engines,
+    * partitionings and corpus growth — appending new documents never
+    * reshuffles existing assignments, unlike any `randomSplit`. Adds
+    * `bucket` (BIGINT ppm) and `split` columns.
+    *
+    * Scale shape: a narrow map-side projection — no shuffle, no state;
+    * filters on `split` push down to the scan like any other predicate.
+    * `hash` defaults to the production xxhash64 family; driver-oracle
+    * queries pass [[Hashing.Md5]] so DuckDB reproduces every assignment
+    * bit-for-bit (the md5 value is non-negative by construction, so `pmod`
+    * here and `%` in the twin agree). Null ids bucket to null and fall to
+    * `train` in both engines (CASE semantics). */
+  def splitAssign(df: DataFrame, docId: String,
+                  valPpm: Long = 10000L, testPpm: Long = 10000L,
+                  hash: Hashing.HashFamily = Hashing.Xx): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      s"split fractions must be non-negative ppm summing to ≤ 1e6, got $valPpm + $testPpm")
+    df.withColumn("bucket",
+        pmod(hash.plain(col(docId).cast(org.apache.spark.sql.types.StringType)),
+          lit(1000000L)))
+      .withColumn("split",
+        when(col("bucket") < valPpm, "val")
+          .when(col("bucket") < valPpm + testPpm, "test")
+          .otherwise("train"))
+  }
 }

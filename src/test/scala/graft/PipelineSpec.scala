@@ -219,6 +219,72 @@ class PipelineSpec extends AnyFunSuite {
       "30 non-null ids exist; null ids must not displace any of them")
   }
 
+  test("splitAssign: deterministic, partition-invariant, append-stable, fraction-plausible") {
+    import graft.pipeline.Sampling
+    val df = spark.range(20000).selectExpr("id AS doc_id", "'s' AS source")
+    val a = Sampling.splitAssign(df, "doc_id", 50000L, 50000L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.splitAssign(df.repartition(17), "doc_id", 50000L, 50000L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must be independent of partitioning")
+    // append-stability: the first half's assignments are a strict subset
+    val half = Sampling.splitAssign(df.where(col("doc_id") < 10000), "doc_id", 50000L, 50000L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (k, v) => a(k) == v },
+      "growing the corpus must never move an existing doc across splits")
+    // 5% ± 1pp at n = 20000 (binomial σ ≈ 0.15pp)
+    val frac = a.values.groupBy(identity).map { case (k, v) => k -> v.size / 20000.0 }
+    assert(math.abs(frac("val") - 0.05) < 0.01, s"val frac ${frac("val")}")
+    assert(math.abs(frac("test") - 0.05) < 0.01, s"test frac ${frac("test")}")
+    assert(frac("train") > 0.88)
+    // degenerate fractions rejected
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "doc_id", 600000L, 500000L))
+  }
+
+  test("packAssignments/packStats equal a sequential driver packer") {
+    import graft.pipeline.Packing
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, if (i % 41 == 0) null
+                 else Seq.fill(rnd.nextInt(40))("w").mkString(" "),
+        s"s${i % 3}")
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val ctx = 32
+    val got = Packing.packAssignments(df, TextAnalysis.wsTokenCount(col("text")),
+        col("doc_id"), col("source"), ctx)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // sequential reference packer: lay docs per stream in doc_id order
+    val expected = rows.groupBy(_._3).flatMap { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).map { case (id, text, _) =>
+        val n = if (text == null) 0L
+                else text.trim.split("\\s+").count(_.nonEmpty).toLong
+        val start = off; off += n
+        val fb = start / ctx
+        val lb = (math.max(off, start + 1) - 1) / ctx
+        (src, id) -> (n, start, fb, lb, fb != lb)
+      }
+    }
+    assert(got == expected)
+    // stats roll up exactly: n_bins = ceil(total/ctx), waste < ctx
+    val stats = Packing.packStats(df, TextAnalysis.wsTokenCount(col("text")),
+        col("doc_id"), col("source"), ctx)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    rows.groupBy(_._3).foreach { case (src, ds) =>
+      val (docs, total, bins, strad, waste) = stats(src)
+      assert(docs == ds.size)
+      val expTotal = ds.map { case (id, _, s) => expected((s, id))._1 }.sum
+      assert(total == expTotal)
+      assert(bins == (total + ctx - 1) / ctx)
+      assert(waste == bins * ctx - total && waste >= 0 && waste < ctx)
+      assert(strad == ds.count { case (id, _, s) => expected((s, id))._5 })
+    }
+  }
+
   test("seeded random corpus: repetition + decontamination match brute force") {
     // small vocab forces heavy bigram collisions and shingle overlap —
     // the regimes where a run-length or prefix bug would surface

@@ -97,6 +97,26 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("packStats: the window's stream exchange is reused by the stats groupBy") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = planOf(graft.pipeline.Packing.packStats(df,
+      graft.pipeline.TextAnalysis.wsTokenCount(col("text")),
+      col("doc_id"), col("source"), ctx = 256))
+    // placement (window over stream) and rollup (groupBy stream) must share
+    // ONE exchange on the stream key — a second hashpartitioning(stream…)
+    // means the groupBy re-shuffled what the window already co-located
+    val streamEx = "hashpartitioning\\(stream".r.findAllIn(p).length
+    assert(streamEx == 1, s"expected 1 stream exchange, got $streamEx:\n" + p)
+    // the scan must not read lang/n_chars (only text + doc_id + source)
+    assert(!p.contains("n_chars"), "pack scan reads unused columns:\n" + p)
+  }
+
+  test("splitAssign is a pure map-side projection — zero exchanges") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = planOf(graft.pipeline.Sampling.splitAssign(df, "doc_id"))
+    assert(!p.contains("Exchange"), "split assignment shuffled:\n" + p)
+  }
+
   test("quotaSample rank filter compiles to WindowGroupLimit (partial per-task top-k)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("source"))
