@@ -166,6 +166,25 @@ object ExtQueries {
               (44 + (100 + id % 400) * (1 + id % 2) * 2)::BIGINT AS n_bytes
        FROM range($AudioRows) t(id) ORDER BY doc_id"""
 
+  private val VideoRows = 2000L
+
+  /** The REAL video-container arm: genuine minimal ISO-BMFF files written
+    * box by box (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsz/
+    * mdat — Multimodal.syntheticVideos) round-trip through the from-scratch
+    * box-tree parser on the Spark side; the oracle predicts every DECODED
+    * field from the generator contract, INCLUDING total container size
+    * (every non-mdat box is fixed-layout: 357 header bytes + frames × 16).
+    * A parser that skipped the walk and guessed any field breaks the hash. */
+  private val videoMetaOracle =
+    s"""SELECT id AS doc_id,
+              (160 + (id % 32) * 4)::INT AS width,
+              (96 + ((id // 7) % 32) * 4)::INT AS height,
+              (1 + id % 120)::INT AS n_frames,
+              (600)::INT AS timescale,
+              ((1 + id % 120) * 25)::BIGINT AS duration_ticks,
+              (357 + (1 + id % 120) * 16)::BIGINT AS n_bytes
+       FROM range($VideoRows) t(id) ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_verdicts" -> (streamVerdicts _),
     "s_stream_dedup" -> (streamDedupCounts _),
@@ -178,6 +197,9 @@ object ExtQueries {
         .orderBy("doc_id")),
     "p_audio_meta" -> ((s, _) =>
       Multimodal.decodeAudioMeta(Multimodal.syntheticAudio(s, AudioRows)).toDF()
+        .orderBy("doc_id")),
+    "p_video_meta" -> ((s, _) =>
+      Multimodal.decodeVideoMeta(Multimodal.syntheticVideos(s, VideoRows)).toDF()
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
@@ -185,5 +207,6 @@ object ExtQueries {
     "s_stream_dedup" -> streamDedupOracle,
     "p_multimodal_meta" -> multimodalOracle,
     "p_image_meta" -> imageMetaOracle,
-    "p_audio_meta" -> audioMetaOracle)
+    "p_audio_meta" -> audioMetaOracle,
+    "p_video_meta" -> videoMetaOracle)
 }

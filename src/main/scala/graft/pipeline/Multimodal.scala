@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * partition sizing. Codecs: IMAGE decode is REAL (PNG/JPEG/GIF/BMP
   * dimensions via the JDK's `javax.imageio`, header-only — no pixel decode
   * on the metadata path); AUDIO decode is REAL (WAV/AIFF/AU headers via
-  * `javax.sound.sampled`); only VIDEO remains a clearly marked
-  * DETERMINISTIC STUB (`decodeStub` parses our synthetic GRF0 container
-  * exactly where a real implementation would call ffmpeg — no media libs
-  * in this sandbox).
+  * `javax.sound.sampled`); VIDEO container metadata is REAL (a from-scratch
+  * ISO-BMFF/MP4 box-tree walk — `mp4Meta` — reading mvhd/tkhd/stsz fields
+  * per ISO 14496-12, header-only). What remains STUBBED, clearly marked:
+  * pixel/PCM-level work that needs a codec library this sandbox lacks —
+  * `featureExtract` (model forward pass) and the GRF0 legacy container
+  * used by the mixed synthetic pipeline.
   */
 object Multimodal {
 
@@ -56,11 +58,11 @@ object Multimodal {
     }
   }
 
-  /** ==== STUB (video only) ==== In production this is the codec call
-    * (ffmpeg/…) over the byte payload; here it parses the synthetic GRF0
-    * header. The surrounding batching/partitioning is the real production
-    * shape; images go through the REAL `imageDims` codec and audio through
-    * the REAL `decodeAudioMeta` WAV-header codec instead. */
+  /** ==== STUB (legacy GRF0 container only) ==== the synthetic mixed-media
+    * generator's own header format, kept so the full-pipeline query keeps a
+    * trivially contract-predictable arm. Every REAL container goes through
+    * a real parser instead: images via `imageDims`, audio via
+    * `decodeAudioMeta`, ISO-BMFF video via `mp4Meta`. */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val magic = new Array[Byte](4); bb.get(magic)
@@ -85,13 +87,16 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** Container dispatch on magic bytes: GRF0 (synthetic video stub), PNG
-    * (0x89 'PNG'), JPEG (0xFFD8), GIF ('GIF8'), BMP ('BM') — anything
-    * else THROWS here; `decodeMeta` catches per row and emits a
-    * `(-1, -1, 0)` sentinel instead, so one corrupt payload can't abort a
-    * corpus-wide metadata job. */
+  /** Container dispatch on magic bytes: ISO-BMFF/MP4 ('ftyp' at offset 4),
+    * GRF0 (legacy synthetic container), PNG (0x89 'PNG'), JPEG (0xFFD8),
+    * GIF ('GIF8'), BMP ('BM') — anything else THROWS here; `decodeMeta`
+    * catches per row and emits a `(-1, -1, 0)` sentinel instead, so one
+    * corrupt payload can't abort a corpus-wide metadata job. */
   private def decode(bytes: Array[Byte]): (Int, Int, Int) =
-    if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'R' &&
+    if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') {
+      val m = mp4Meta(bytes); (m.width, m.height, m.nFrames)
+    } else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'R' &&
         bytes(2) == 'F' && bytes(3) == '0')
       decodeStub(bytes)
     else if (bytes.length >= 4 &&
@@ -101,6 +106,71 @@ object Multimodal {
          (bytes(0) == 'B' && bytes(1) == 'M'))) {
       val (w, h) = imageDims(bytes); (w, h, 1)
     } else throw new IllegalArgumentException("unknown media container")
+
+  /** Parsed ISO-BMFF header fields (plus uniform sample size for frame
+    * slicing — 0 when per-sample sizes vary). */
+  private final case class Mp4Header(width: Int, height: Int, nFrames: Int,
+                                     timescale: Int, durationTicks: Long,
+                                     sampleSize: Int)
+
+  /** Scan the sibling boxes in `bytes[start, end)` for the first `fourcc`;
+    * returns the PAYLOAD bounds. Rejects malformed sizes (size < 8 or
+    * overrunning the parent) and the rare largesize/to-end encodings —
+    * callers turn the failure into a sentinel row. */
+  private def findBox(bytes: Array[Byte], start: Int, end: Int,
+                      fourcc: String): Option[(Int, Int)] = {
+    def i32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    var off = start
+    while (off + 8 <= end) {
+      val size = i32(off)
+      if (size < 8 || off + size > end) return None
+      if (bytes(off + 4) == fourcc(0) && bytes(off + 5) == fourcc(1) &&
+          bytes(off + 6) == fourcc(2) && bytes(off + 7) == fourcc(3))
+        return Some((off + 8, off + size))
+      off += size
+    }
+    None
+  }
+
+  /** REAL video container codec — a from-scratch ISO-BMFF (MP4) box-tree
+    * walk per ISO 14496-12, no media libraries: movie timescale + duration
+    * from `moov/mvhd`, presentation width/height from `moov/trak/tkhd`
+    * (16.16 fixed point), sample (frame) count and uniform sample size
+    * from `moov/trak/mdia/minf/stbl/stsz`. Header-only: `mdat` payload
+    * bytes are never touched, so video metadata over a 100-TB corpus
+    * stays I/O-bound like the imageio/sampled paths. Version-0 boxes only
+    * (the durable baseline every writer emits for sub-68-year timestamps);
+    * anything else throws → sentinel row upstream. A PIXEL decode would
+    * need a codec library this sandbox lacks — metadata needs none. */
+  private def mp4Meta(bytes: Array[Byte]): Mp4Header = {
+    def i32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    def payload(o: Option[(Int, Int)], what: String): (Int, Int) =
+      o.getOrElse(throw new IllegalArgumentException(s"ISO-BMFF: no $what box"))
+    def v0(off: Int, what: String): Unit =
+      if ((bytes(off) & 0xff) != 0)
+        throw new IllegalArgumentException(s"ISO-BMFF: $what version != 0")
+    val moov = payload(findBox(bytes, 0, bytes.length, "moov"), "moov")
+    val mvhd = payload(findBox(bytes, moov._1, moov._2, "mvhd"), "mvhd")
+    v0(mvhd._1, "mvhd")
+    val timescale = i32(mvhd._1 + 12)
+    val duration = i32(mvhd._1 + 16).toLong & 0xffffffffL
+    val trak = payload(findBox(bytes, moov._1, moov._2, "trak"), "trak")
+    val tkhd = payload(findBox(bytes, trak._1, trak._2, "tkhd"), "tkhd")
+    v0(tkhd._1, "tkhd")
+    val width = i32(tkhd._1 + 76) >>> 16
+    val height = i32(tkhd._1 + 80) >>> 16
+    val mdia = payload(findBox(bytes, trak._1, trak._2, "mdia"), "mdia")
+    val minf = payload(findBox(bytes, mdia._1, mdia._2, "minf"), "minf")
+    val stbl = payload(findBox(bytes, minf._1, minf._2, "stbl"), "stbl")
+    val stsz = payload(findBox(bytes, stbl._1, stbl._2, "stsz"), "stsz")
+    v0(stsz._1, "stsz")
+    Mp4Header(width, height, i32(stsz._1 + 8), timescale, duration,
+      i32(stsz._1 + 4))
+  }
 
   /** Batched metadata extraction: one partition = one iterator pass, no
     * per-row task overhead — the mapInPandas batch shape on the JVM.
@@ -177,6 +247,91 @@ object Multimodal {
     }
   }
 
+  final case class VideoMeta(doc_id: Long, width: Int, height: Int,
+                             n_frames: Int, timescale: Int,
+                             duration_ticks: Long, n_bytes: Long)
+
+  /** Typed video metadata via the real ISO-BMFF walk ([[mp4Meta]]); bad
+    * payloads → (-1, …, 0) sentinel rows, same quarantine contract as the
+    * image/audio paths. */
+  def decodeVideoMeta(ds: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val m = mp4Meta(r.media)
+          VideoMeta(r.doc_id, m.width, m.height, m.nFrames, m.timescale,
+            m.durationTicks, r.media.length.toLong)
+        } catch { case scala.util.control.NonFatal(_) =>
+          VideoMeta(r.doc_id, -1, -1, 0, -1, 0L, r.media.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** REAL video rows: genuine minimal-but-well-formed ISO-BMFF files —
+    * ftyp('isom') + moov(mvhd + trak(tkhd + mdia(mdhd + hdlr +
+    * minf(stbl(stsz uniform-size))))) + mdat, every field per ISO
+    * 14496-12, written box by box from scratch. Metadata follows a
+    * SQL-expressible contract (w = 160 + (id mod 32)·4, h = 96 +
+    * (⌊id/7⌋ mod 32)·4, frames = 1 + id mod 120, timescale 600, duration =
+    * frames·25 ticks i.e. 24 fps, 16-byte uniform samples) so a DuckDB
+    * oracle predicts every DECODED field — including total size 357 +
+    * frames·16 bytes, since each box is fixed-layout — and the Spark side
+    * must genuinely walk the box tree to agree. */
+  def syntheticVideos(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val w = (160 + (id % 32) * 4).toInt
+      val h = (96 + ((id / 7) % 32) * 4).toInt
+      val frames = (1 + id % 120).toInt
+      val durTicks = frames * 25
+      def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        bb.putInt(8 + payload.length).put(fourcc.getBytes("US-ASCII")).put(payload)
+        bb.array()
+      }
+      def full(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+      val matrix = java.nio.ByteBuffer.allocate(36)
+        .putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000).array()
+      val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(16)
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII")).array())
+      val mvhd = box("mvhd", java.nio.ByteBuffer.allocate(100)
+        .putInt(0).putInt(0).putInt(0)           // version/flags, creation, modification
+        .putInt(600).putInt(durTicks)            // timescale, duration
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+        .putLong(0L).put(matrix)
+        .put(new Array[Byte](24)).putInt(2).array()) // pre_defined, next_track_ID
+      val tkhd = box("tkhd", java.nio.ByteBuffer.allocate(84)
+        .putInt(0x00000007).putInt(0).putInt(0)  // v/flags (enabled), creation, modification
+        .putInt(1).putInt(0).putInt(durTicks)    // track_ID, reserved, duration
+        .putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+        .put(matrix).putInt(w << 16).putInt(h << 16).array())
+      val mdhd = box("mdhd", java.nio.ByteBuffer.allocate(24)
+        .putInt(0).putInt(0).putInt(0).putInt(600).putInt(durTicks)
+        .putShort(0x55c4.toShort).putShort(0).array()) // language 'und'
+      val hdlr = box("hdlr", java.nio.ByteBuffer.allocate(25)
+        .putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+        .put(new Array[Byte](13)).array())
+      val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
+        .putInt(0).putInt(16).putInt(frames).array()) // uniform 16-byte samples
+      val moov = box("moov", full(mvhd,
+        box("trak", full(tkhd,
+          box("mdia", full(mdhd, hdlr,
+            box("minf", box("stbl", stsz))))))))
+      val payload = new Array[Byte](frames * 16)
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      payload.indices.foreach { i =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        payload(i) = (x >>> 56).toByte
+      }
+      MediaRow(id, "video", full(ftyp, moov, box("mdat", payload)))
+    }
+  }
+
   /** REAL image rows: deterministic pixels encoded by ImageIO into genuine
     * PNG (even ids) / JPEG (odd ids) bytes, so BOTH magic-dispatch branches
     * and codecs run. Width/height follow a SQL-expressible contract
@@ -220,17 +375,33 @@ object Multimodal {
     }
   }
 
-  /** Video frame sampling: every `everyN`th frame as its own (exploded) row;
-    * frame payload sliced from the container ==== STUB slicing ==== . */
+  /** Video frame sampling: every `everyN`th frame as its own (exploded)
+    * row. For ISO-BMFF payloads the slicing is REAL: sample boundaries come
+    * from the parsed stsz uniform sample size and the located `mdat`
+    * payload, exactly how a demuxer addresses samples (uniform-size tracks;
+    * a per-sample stsz table would extend the same walk). GRF0 payloads
+    * keep the legacy proportional slicing ==== STUB slicing (GRF0 only) ====. */
   def frameSample(ds: Dataset[MediaRow], everyN: Int = 4): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.filter(_.media_type == "video").mapPartitions { rows =>
       rows.flatMap { r =>
-        val (_, _, frames) = decodeStub(r.media)
-        val payload = r.media.drop(16)
-        (0 until frames by everyN).map { f =>
-          val chunk = math.max(payload.length / frames, 1)
-          Frame(r.doc_id, f, payload.slice(f * chunk, math.min((f + 1) * chunk, payload.length)))
+        val b = r.media
+        if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+          val m = mp4Meta(b)
+          val (mdStart, mdEnd) = findBox(b, 0, b.length, "mdat")
+            .getOrElse(throw new IllegalArgumentException("ISO-BMFF: no mdat box"))
+          val sz = math.max(m.sampleSize, 1)
+          (0 until m.nFrames by everyN).map { f =>
+            Frame(r.doc_id, f,
+              b.slice(mdStart + f * sz, math.min(mdStart + (f + 1) * sz, mdEnd)))
+          }
+        } else {
+          val (_, _, frames) = decodeStub(b)
+          val payload = b.drop(16)
+          (0 until frames by everyN).map { f =>
+            val chunk = math.max(payload.length / frames, 1)
+            Frame(r.doc_id, f, payload.slice(f * chunk, math.min((f + 1) * chunk, payload.length)))
+          }
         }
       }
     }

@@ -636,4 +636,43 @@ class PipelineSpec extends AnyFunSuite {
     val s = Multimodal.decodeAudioMeta(bad).collect().head
     assert(s.sample_rate == -1 && s.channels == -1 && s.n_samples == 0L)
   }
+
+  test("video: ISO-BMFF round-trip decodes box-tree fields per the generator contract") {
+    val got = Multimodal.decodeVideoMeta(Multimodal.syntheticVideos(spark, 30)).collect()
+    assert(got.length == 30)
+    got.foreach { m =>
+      val id = m.doc_id
+      assert(m.width == 160 + (id % 32) * 4, s"width of $id")
+      assert(m.height == 96 + ((id / 7) % 32) * 4, s"height of $id")
+      assert(m.n_frames == 1 + (id % 120), s"frames of $id")
+      assert(m.timescale == 600 && m.duration_ticks == m.n_frames * 25L, s"time of $id")
+      assert(m.n_bytes == 357 + m.n_frames * 16L, s"bytes of $id")
+    }
+    // the generic decodeMeta dispatch routes MP4 through the same walk
+    import spark.implicits._
+    val viaDispatch = Multimodal.decodeMeta(Multimodal.syntheticVideos(spark, 10)).collect()
+    viaDispatch.foreach { m =>
+      assert(m.width == 160 + (m.doc_id % 32) * 4 && m.n_frames == 1 + (m.doc_id % 120))
+    }
+    // frame slicing addresses real stsz/mdat boundaries: every sampled
+    // frame is exactly the uniform 16-byte sample, and re-assembling the
+    // every-1 sampling reproduces the mdat payload byte-for-byte
+    val rows = Multimodal.syntheticVideos(spark, 3).collect()
+    val frames = Multimodal.frameSample(
+      spark.createDataset(rows.toSeq), everyN = 1).collect()
+    rows.foreach { r =>
+      val fs = frames.filter(_.doc_id == r.doc_id).sortBy(_.frame_idx)
+      val nf = (1 + r.doc_id % 120).toInt
+      assert(fs.length == nf && fs.forall(_.frame.length == 16))
+      val mdat = r.media.takeRight(nf * 16)
+      assert(fs.flatMap(_.frame).sameElements(mdat), s"mdat mismatch for ${r.doc_id}")
+    }
+    // truncated/corrupt MP4 → sentinel row, not a task failure
+    val truncated = rows.head.media.take(40)
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "video", truncated),
+      Multimodal.MediaRow(8L, "video", Array[Byte](0, 0, 0, 1, 'f', 't', 'y', 'p'))))
+    val sents = Multimodal.decodeVideoMeta(bad).collect()
+    assert(sents.forall(s => s.width == -1 && s.n_frames == 0))
+  }
 }
