@@ -191,6 +191,30 @@ object PipelineQueries {
     "p_exact_drop_list" -> ((s, dir) =>
       Dedup.exactDropList(docsWithDups(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_id")),
+    // incremental dedup: history = even doc_ids, batch = odd; the bloom
+    // probe's claims are pinned the x_metrics_sketch way — exact counts
+    // exact, the sketch's one-sided-error contract as booleans the oracle
+    // fixes to TRUE (a single missed true duplicate flips
+    // no_false_negatives; an fpp blowout past 5× flips fp_ok)
+    "p_bloom_dedup" -> ((s, dir) => {
+      val d = docsWithDups(s, dir).where(col("text").isNotNull)
+      val hist = d.where(col("doc_id") % 2 === 0)
+      val batch = d.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), TextAnalysis.contentKey(col("text")).as("k"))
+      val histKeys = hist
+        .select(TextAnalysis.contentKey(col("text")).as("k")).distinct()
+      Dedup.bloomMightContain(hist, TextAnalysis.contentKey(col("text")),
+          batch, col("k"), expectedItems = 10000L, fpp = 0.01)
+        .join(histKeys.withColumn("truth", lit(true)), Seq("k"), "left")
+        .select(col("might_dup"), coalesce(col("truth"), lit(false)).as("truth"))
+        .agg(
+          count(lit(1)).as("batch_total"),
+          sum(col("truth").cast("long")).as("true_dups"),
+          (sum((col("truth") && !col("might_dup")).cast("long")) === 0)
+            .as("no_false_negatives"),
+          (sum((!col("truth") && col("might_dup")).cast("long"))
+            <= greatest(ceil(count(lit(1)) * 0.05), lit(5L))).as("fp_ok"))
+    }),
     "p_minhash_neardups" -> ((s, dir) =>
       Dedup.nearDuplicates(docsWithDups(s, dir).where(col("text").isNotNull),
           col("text"), col("doc_id"), threshold = 0.9, hash = Hashing.Md5)
@@ -271,6 +295,30 @@ object PipelineQueries {
         .orderBy("stream")),
 
     // -- text analysis ------------------------------------------------------
+    "p_pii_scan" -> ((s, dir) => {
+      // the corpus text is synthetic, so PII shapes are PLANTED from doc_id
+      // (generator-contract oracle, the p_image_meta pattern): the oracle
+      // builds the same augmented text in SQL and the engine's regex scan +
+      // redaction must agree byte-for-byte. Plain `%` (sign-of-dividend)
+      // everywhere — doc_id < 0 rows exist and pmod would diverge from
+      // DuckDB's `%`.
+      val planted = concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" call +1 555 0100")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      TextAnalysis.piiScan(
+          docs(s, dir).select(col("doc_id"), planted.as("text")),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
     "p_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -676,6 +724,18 @@ object PipelineQueries {
           SELECT k.doc_id, k.content_key, g.keep_doc_id
           FROM keyed k JOIN groups g USING (content_key)
           WHERE k.doc_id != g.keep_doc_id ORDER BY k.doc_id""",
+    // the exact columns are recomputed from scratch (set membership via
+    // IN); the two sketch-contract booleans are pinned TRUE
+    "p_bloom_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd WHERE text IS NOT NULL),
+          hist AS (SELECT DISTINCT $contentKeySql AS k FROM d WHERE doc_id % 2 = 0),
+          batch AS (SELECT $contentKeySql AS k FROM d WHERE doc_id % 2 <> 0)
+          SELECT count(*) AS batch_total,
+                 sum(CASE WHEN k IN (SELECT k FROM hist) THEN 1 ELSE 0 END)::BIGINT
+                   AS true_dups,
+                 TRUE AS no_false_negatives,
+                 TRUE AS fp_ok
+          FROM batch""",
     "p_minhash_neardups" ->
       s"""WITH d AS (SELECT doc_id, text FROM $docsWithDupsSql dd WHERE text IS NOT NULL),
           ${minhashCtes("d")},
@@ -871,6 +931,33 @@ object PipelineQueries {
                  sum(CASE WHEN fb <> lb THEN 1 ELSE 0 END)::BIGINT AS straddling_docs,
                  (((sum(tok) + 255) // 256) * 256 - sum(tok))::BIGINT AS tail_waste
           FROM a GROUP BY stream ORDER BY stream""",
+    // PII oracle: the identical pattern text (PiiPatterns is the single
+    // source) over the identically-augmented text — counts AND the fully
+    // redacted string byte-for-byte
+    "p_pii_scan" -> {
+      val counts = TextAnalysis.PiiPatterns.map { case (n, re, _) =>
+        s"len(regexp_extract_all(text, '$re')) AS $n"
+      }.mkString(", ")
+      val redacted = TextAnalysis.PiiPatterns.foldLeft("text") {
+        case (acc, (_, re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+      }
+      s"""WITH aug AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                   ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0
+                   THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+                        ((doc_id * 7) % 256)::VARCHAR
+                   ELSE '' END ||
+              CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 0100' ELSE '' END ||
+              CASE WHEN doc_id % 17 = 0
+                   THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END AS text
+            FROM documents)
+          SELECT doc_id, $counts, $redacted AS redacted
+          FROM aug ORDER BY doc_id"""
+    },
     // the oracle counts per-distinct-bigram occurrences (n² at test scale);
     // the engine's run-length-over-sorted derivation must agree exactly
     "p_repetition" ->

@@ -26,6 +26,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_variant_kind takes exactly 1 argument")
         VariantKind(children.head)
       }))
+    // Spark's own runtime-filter bloom expressions, surfaced as callable
+    // functions (upstream registers them internal-only): the historical-
+    // corpus membership sketch for incremental dedup (pipeline/Dedup
+    // .bloomMightContain). Aggregate child must be LongType (xxhash64).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_agg(longValue, estimatedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_contains(bloomBinary, longValue)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_all_in_range"),
       new ExpressionInfo(classOf[ForallInRange].getName, "graft_all_in_range"),

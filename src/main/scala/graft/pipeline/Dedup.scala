@@ -49,6 +49,51 @@ object Dedup {
       .select(col("doc_id"), col("content_key"), col("keep_doc_id"))
   }
 
+  // -- Bloom-sketch incremental dedup --------------------------------------
+
+  /** Incremental (cross-batch) exact dedup via a Bloom sketch of the
+    * HISTORICAL corpus: adds `might_dup` to `batch` — true for every batch
+    * row whose key is (probably) already in `history`. One-sided error by
+    * construction: NO false negatives (every true duplicate is flagged);
+    * false positives at ≈`fpp`, so the flag is a CANDIDATE filter — route
+    * flagged rows to an exact verify (join on the key) sized by the
+    * candidate set, not the corpus.
+    *
+    * 100-TB shape: the history side is one scan + a partial-aggregated
+    * bloom merge (the buffer is the fixed-size bit array — map-side
+    * combine ships one sketch per task, never rows); the batch side is a
+    * MAP-ONLY foldable-literal membership probe — no corpus-sized shuffle,
+    * no join against 10^12 historical keys. The sketch itself must fit on
+    * the driver/executors: ~1.2 bits per key per ln(1/fpp) factor — 10^9
+    * keys at 1% fpp ≈ 1.1 GiB, beyond that shard the history into per-range
+    * blooms or fall back to the distinct-key anti-join
+    * (`CrossRow.referentialLargeDim`'s strategy). Uses Spark's own
+    * runtime-filter expressions (BloomFilterAggregate /
+    * BloomFilterMightContain, surfaced via GraftExtensions) — the same
+    * codegen'd machinery AQE injects for join pruning. */
+  def bloomMightContain(history: DataFrame, histKey: Column,
+                        batch: DataFrame, batchKey: Column,
+                        expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "need items > 0, 0 < fpp < 1")
+    // optimal bits m = -n ln(p) / (ln 2)^2, capped at Spark's 2^26-byte
+    // aggregate ceiling guard (the caller sizes n honestly; an undersized
+    // filter degrades fpp, never correctness of the no-false-negative side)
+    val numBits = math.min(
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      math.pow(2, 29).toLong)
+    val bloom = history
+      .select(call_function("graft_bloom_agg",
+        xxhash64(histKey), lit(expectedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // empty history → the aggregate evals to null → nothing is a duplicate
+    if (bloom == null) batch.withColumn("might_dup", lit(false))
+    // the sketch rides into the batch scan as a FOLDABLE binary literal
+    // (BloomFilterMightContain requires it): one task-side deserialize,
+    // then a codegen'd per-row probe — the trained-centroid pattern
+    else batch.withColumn("might_dup",
+      call_function("graft_bloom_contains", lit(bloom), xxhash64(batchKey)))
+  }
+
   // -- MinHash + LSH -------------------------------------------------------
 
   /** Staged (doc_id, _sh) shingle frame — ONE narrow projection chain shared

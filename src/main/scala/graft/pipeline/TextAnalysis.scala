@@ -106,6 +106,37 @@ object TextAnalysis {
   def contentKey(text: Column): Column =
     md5(array_join(words(text), " "))
 
+  /** PII patterns in the Java-regex ∩ RE2 common subset (no lookaround, no
+    * backrefs), so the DuckDB oracle evaluates the IDENTICAL pattern text:
+    * email, IPv4, international-format phone, US-SSN shape. Deliberately
+    * conservative (precision over recall): a training-pipeline PII pass
+    * flags/redacts the unambiguous shapes and leaves fuzzy matching to a
+    * dedicated NER stage. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4s", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phones", "\\+[0-9]{1,2} [0-9]{3} [0-9]{3,4}( [0-9]{3,4})?", "<PHONE>"),
+    ("ssns", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"))
+
+  /** PII scan + redaction, entirely map-side (codegen'd regex, zero
+    * shuffle): per-doc match counts for each pattern family plus the
+    * redacted text with matches replaced by typed placeholders. Redaction
+    * applies in PiiPatterns order (email first — an IPv4-shaped domain or
+    * SSN-shaped local part is consumed by the email placeholder before the
+    * narrower patterns run), matching the oracle's nested regexp_replace.
+    * At 100 TB this is the same narrow projection pass as quality/lang-id:
+    * no exchange, whole-stage codegen, scan-bound. */
+  def piiScan(df: org.apache.spark.sql.DataFrame, text: Column,
+              docId: Column): org.apache.spark.sql.DataFrame = {
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).as(name)
+    }
+    val redacted = PiiPatterns.foldLeft(text) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, lit(re), lit(tag))
+    }
+    df.select(docId.as("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Gopher-style REPETITION signals per document, computed entirely
     * map-side (zero shuffle): `(doc_id, words, dup_word_frac, bigrams,
     * top_bigram_count, top_bigram_frac)` — the "fraction of the doc covered

@@ -54,12 +54,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(clean > garbage)
   }
 
+  test("piiScan: counts + redaction match a driver regex recompute; nulls pass through") {
+    val pii = Seq(
+      (1L, "mail me at alice.smith+spam@mail.example.co or bob@ex.io today"),
+      (2L, "server 192.168.1.254 and 10.0.0.1 up; version 1.2.3.4.5 has five parts"),
+      (3L, "call +1 555 0100 or +49 302 555 1234 tonight"),
+      (4L, "ssn 123-45-6789 on file; order 12-34-5678 is not one"),
+      (5L, "no pii here at all"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(pii, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) == 2 && got(1L).getString(5).contains("<EMAIL>")
+      && !got(1L).getString(5).contains("@"))
+    // 1.2.3.4.5: \b-bounded quads — RE2/Java both match the leading 1.2.3.4
+    assert(got(2L).getInt(2) == 3 && got(2L).getString(5).contains("<IP>"))
+    assert(got(3L).getInt(3) == 2 && got(3L).getString(5).contains("<PHONE>"))
+    assert(got(4L).getInt(4) == 1 && got(4L).getString(5).contains("<SSN>")
+      && got(4L).getString(5).contains("12-34-5678"))
+    assert(got(5L).toSeq.slice(1, 5) == Seq(0, 0, 0, 0) && got(5L).getString(5) == "no pii here at all")
+    assert(got(6L).isNullAt(1) && got(6L).isNullAt(5))
+    // brute force: Java regex over the same rows must agree with the plan
+    pii.collect().filter(!_.isNullAt(1)).foreach { row =>
+      val t = row.getString(1)
+      val g = got(row.getLong(0))
+      TextAnalysis.PiiPatterns.zipWithIndex.foreach { case ((_, re, _), i) =>
+        assert(g.getInt(i + 1) == re.r.findAllIn(t).size, s"$re on '$t'")
+      }
+      val red = TextAnalysis.PiiPatterns.foldLeft(t) { case (acc, (_, re, tag)) =>
+        acc.replaceAll(re, tag) }
+      assert(g.getString(5) == red)
+    }
+  }
+
   test("fingerprint: stable, normalization-insensitive, content-sensitive") {
     val fp = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
       .select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
     val a = fp("The quick brown fox jumps over the lazy dog")
     assert(a == fp("the  QUICK brown\tfox jumps over the lazy dog!"))
     assert(a != fp("an entirely different document about databases"))
+  }
+
+  test("bloomMightContain: zero false negatives, fp rate near fpp, empty history clean") {
+    val hist = (1 to 500).map(i => (i.toLong, s"key_$i")).toDF("id", "k")
+    // batch: 50 true members + 500 guaranteed non-members
+    val batch = ((1 to 50).map(i => (1000L + i, s"key_$i", true)) ++
+        (1 to 500).map(i => (2000L + i, s"other_$i", false)))
+      .toDF("id", "k", "truth")
+    val flagged = Dedup.bloomMightContain(hist, col("k"), batch, col("k"),
+        expectedItems = 1000L, fpp = 0.01)
+      .collect().map(r => (r.getBoolean(2), r.getBoolean(3))).toSeq
+    // one-sided error: EVERY true member is flagged
+    assert(flagged.filter(_._1).forall(_._2), "bloom missed a true member")
+    // false positives bounded well under 5× the configured fpp
+    val fps = flagged.count(p => !p._1 && p._2)
+    assert(fps <= 25, s"fp count $fps above bound on 500 non-members")
+    val none = Dedup.bloomMightContain(hist.where(col("id") < 0), col("k"),
+        batch, col("k"), expectedItems = 1000L)
+      .collect()
+    assert(none.forall(!_.getBoolean(3)), "empty history must flag nothing")
   }
 
   test("exact dedup: groups + drop list keep min doc_id") {

@@ -128,6 +128,26 @@ class PlanSpec extends AnyFunSuite {
       "no PARTIAL WindowGroupLimit before the exchange:\n" + p)
   }
 
+  test("bloom membership probe is map-only — no exchange or join on the batch side") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = planOf(graft.pipeline.Dedup.bloomMightContain(
+      d.where(col("doc_id") % 2 === 0), col("doc_id"),
+      d.where(col("doc_id") % 2 =!= 0), col("doc_id"), expectedItems = 10000L))
+    // the whole point vs an anti-join: the batch side sees only a foldable
+    // literal sketch — any Exchange/Join here means corpus-sized data moved
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "bloom probe shuffled or joined:\n" + p)
+    assert(p.contains("might_contain"), "no bloom probe in plan:\n" + p)
+  }
+
+  test("piiScan is a pure map-side projection — zero exchanges") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = planOf(graft.pipeline.TextAnalysis.piiScan(df, col("text"), col("doc_id")))
+    assert(!p.contains("Exchange"), "pii scan shuffled:\n" + p)
+    // only text + doc_id read: redaction must not widen the scan
+    assert(!p.contains("n_chars"), "pii scan reads unused columns:\n" + p)
+  }
+
   test("decontamination broadcasts the eval shingles; corpus side never shuffles rows") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val flagged = graft.pipeline.Dedup.contaminatedDocs(
