@@ -282,6 +282,24 @@ object PipelineQueries {
     "p_mixture" -> ((s, dir) =>
       Sampling.mixtureReport(docs(s, dir), "source", "text")
         .orderBy("source")),
+    // token-budget mixing: per-source budgets derived IN-QUERY from the
+    // corpus (sources ending in '1' get 2× their total — exercising the
+    // ppm cap / keep-all path; the rest get a third), so the oracle can
+    // re-derive everything with no data-dependent literals
+    "p_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def tok = TextAnalysis.wsTokenCount(col("text"))
+      val budgets = d.groupBy(col("source"))
+        .agg(sum(tok.cast("long")).as("_t"))
+        .select(col("source"),
+          when(col("source").endsWith("1"), col("_t") * 2)
+            .otherwise(floor(col("_t") / 3)).as("budget"))
+      Sampling.tokenBudgetSample(d, "source", "doc_id", tok, budgets, Hashing.Md5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(tok.cast("long")).as("kept_tokens"))
+        .orderBy("source")
+    }),
     "p_split_stats" -> ((s, dir) =>
       Sampling.splitAssign(docs(s, dir), "doc_id", 10000L, 10000L, Hashing.Md5)
         .groupBy(col("source"), col("split"))
@@ -896,6 +914,27 @@ object PipelineQueries {
                  floor(docs::DOUBLE * 1000000.0 / td::DOUBLE)::BIGINT AS doc_ppm,
                  floor(tokens::DOUBLE * 1000000.0 / tt::DOUBLE)::BIGINT AS token_ppm
           FROM pk CROSS JOIN t ORDER BY source""",
+    // token-budget sampling re-derived end-to-end: totals → budgets →
+    // keep-ppm (identical IEEE double expression) → md5-ppm membership →
+    // per-source rollup
+    "p_token_budget" ->
+      s"""WITH tot AS (SELECT source, sum($wsTokSql)::BIGINT AS t
+                       FROM documents GROUP BY source),
+          bud AS (SELECT source,
+                         CASE WHEN source LIKE '%1' THEN t * 2
+                              ELSE floor(t / 3)::BIGINT END AS budget
+                  FROM tot),
+          frac AS (SELECT source,
+                          floor(least(1000000.0,
+                            budget::DOUBLE * 1000000.0 / t::DOUBLE))::BIGINT
+                            AS keep_ppm
+                   FROM tot JOIN bud USING (source)
+                   WHERE budget > 0),
+          kept AS (SELECT d.source, $wsTokSql AS tok
+                   FROM documents d JOIN frac USING (source)
+                   WHERE (${h64("doc_id::VARCHAR")} % 1000000) < keep_ppm)
+          SELECT source, count(*) AS kept_docs, sum(tok)::BIGINT AS kept_tokens
+          FROM kept GROUP BY source ORDER BY source""",
     // split membership is a pure function of md5(doc_id string) ppm
     // buckets — min/max bucket per cell make the oracle hash-sensitive to
     // every assignment, not just the counts

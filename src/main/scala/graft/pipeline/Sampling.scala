@@ -80,6 +80,43 @@ object Sampling {
           .as("token_ppm"))
   }
 
+  /** Token-BUDGET sampling (Chinchilla-style data mixing): keep a
+    * deterministic subset of each key's documents whose total token count
+    * lands near the key's budget. Two passes, both scale-correct:
+    * (1) per-key token totals — one partial-aggregated groupBy producing a
+    * |keys|-sized frame; (2) keep fraction `ppm_k = ⌊min(1e6, budget_k ×
+    * 1e6 / total_k)⌋` broadcast back, membership = `hash(docId) mod 1e6 <
+    * ppm_k` — a MAP-SIDE Bernoulli-by-hash filter, no ordered scan, no
+    * per-key window. An exact per-key running-sum cutoff would need a
+    * full-key ordered window (corpus-sized shuffle, hot keys unbounded);
+    * hash thresholding hits the budget within sampling noise and keeps
+    * membership a pure row-local function — reproducible across
+    * partitionings, retries, engines.
+    *
+    * `budgets` is a (key, budget) frame, expected tiny (broadcast). Keys
+    * absent from it are dropped (budget 0 ≡ absent). The fraction math is
+    * double IEEE (identical in DuckDB) with the ∞ hazard capped by
+    * `least` BEFORE `floor` — a zero-token key keeps everything when its
+    * budget is positive. Null doc ids are never kept (hash forced null —
+    * xxhash64(null) would return the seed and diverge from md5). */
+  def tokenBudgetSample(df: DataFrame, key: String, docId: String,
+                        tokens: org.apache.spark.sql.Column, budgets: DataFrame,
+                        hash: Hashing.HashFamily = Hashing.Xx): DataFrame = {
+    val totals = df.groupBy(col(key)).agg(sum(tokens.cast("long")).as("_tk"))
+    // budget 0 ≡ absent (also dodges the 0×1e6/0 NaN, which both engines
+    // would otherwise sort ABOVE the least() cap and keep everything)
+    val frac = totals.join(budgets.where(col("budget") > 0), key)
+      .select(col(key),
+        floor(least(lit(1000000.0),
+          col("budget").cast("double") * lit(1000000.0) / col("_tk").cast("double")))
+          .as("_keep_ppm"))
+    df.join(broadcast(frac), Seq(key))
+      .where(when(col(docId).isNull, lit(null))
+        .otherwise(pmod(hash.plain(col(docId).cast(org.apache.spark.sql.types.StringType)),
+          lit(1000000L))) < col("_keep_ppm"))
+      .drop("_keep_ppm")
+  }
+
   /** Deterministic train/val/test split assignment — the leakage-safe way
     * to carve held-out sets out of a training corpus: membership is a pure
     * function of the row key (`bucket = hash(docId string) mod 10⁶`,

@@ -272,6 +272,34 @@ class PipelineSpec extends AnyFunSuite {
       "30 non-null ids exist; null ids must not displace any of them")
   }
 
+  test("tokenBudgetSample: cap keeps all, absent/zero budget keeps none, membership row-local") {
+    import graft.pipeline.Sampling
+    val rows: Seq[(java.lang.Long, String, String)] =
+      (1 to 200).map(i => (java.lang.Long.valueOf(i.toLong),
+        if (i % 2 == 0) "a" else "b", "w " * (i % 7 + 1))) :+
+        ((null.asInstanceOf[java.lang.Long], "a", "null id doc")) // never kept
+    val df = rows.toDF("doc_id", "source", "text")
+    val tok = graft.pipeline.TextAnalysis.wsTokenCount(col("text"))
+    val budgets = Seq(("a", 1000000L), ("c", 50L)).toDF("source", "budget")
+    val kept = Sampling.tokenBudgetSample(df, "source", "doc_id", tok, budgets,
+      graft.pipeline.Hashing.Md5)
+    val ids = kept.select("doc_id").collect().map(_.get(0)).toSet
+    // budget ≥ total → ppm caps at 1e6 → every non-null-id 'a' doc kept
+    assert(ids == (2 to 200 by 2).map(_.toLong).toSet, "cap must keep all of 'a', nulls never")
+    // 'b' has no budget row, 'c' has no docs → nothing else kept
+    assert(kept.where(col("source") =!= "a").count() == 0)
+    // membership is row-local: repartitioning changes nothing
+    val ids2 = Sampling.tokenBudgetSample(df.repartition(7), "source", "doc_id", tok,
+        budgets, graft.pipeline.Hashing.Md5)
+      .select("doc_id").collect().map(_.get(0)).toSet
+    assert(ids2 == ids)
+    // a REAL partial budget keeps a strict, deterministic, non-empty subset
+    val part = Sampling.tokenBudgetSample(df, "source", "doc_id", tok,
+        Seq(("a", 100L)).toDF("source", "budget"), graft.pipeline.Hashing.Md5)
+      .select("doc_id").collect().map(_.get(0)).toSet
+    assert(part.nonEmpty && part.subsetOf(ids) && part.size < ids.size)
+  }
+
   test("splitAssign: deterministic, partition-invariant, append-stable, fraction-plausible") {
     import graft.pipeline.Sampling
     val df = spark.range(20000).selectExpr("id AS doc_id", "'s' AS source")
