@@ -265,6 +265,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // line-level dedup over the dup-planted corpus: the +100000 planted
+    // copies make every line of a copied doc document-frequency ≥ 2
+    "p_line_dedup" -> ((s, dir) =>
+      Dedup.lineDupStats(docsWithDups(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+    // global bigram counts — the statistic tokenizer training starts from
+    "p_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), col("text"), n = 2, k = 100)),
+
     // -- decontamination + mixing ------------------------------------------
     "p_decontaminate" -> ((s, dir) => {
       // eval set = every 97th doc; flag the rest of the corpus on shared
@@ -970,6 +979,37 @@ object PipelineQueries {
                  sum(CASE WHEN fb <> lb THEN 1 ELSE 0 END)::BIGINT AS straddling_docs,
                  (((sum(tok) + 255) // 256) * 256 - sum(tok))::BIGINT AS tail_waste
           FROM a GROUP BY stream ORDER BY stream""",
+    // line dedup re-derived: per-doc distinct trimmed lines → window df →
+    // rollup; the engine groups by md5(line), the oracle by the line text
+    // itself — equal grouping (md5 is collision-free at this scale), so a
+    // hash-side error cannot hide
+    "p_line_dedup" ->
+      s"""WITH ls AS (SELECT doc_id,
+                             list_distinct(list_filter(
+                               list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)),
+                               x -> len(x) > 0)) AS lls
+                      FROM $docsWithDupsSql),
+          dl AS (SELECT doc_id, unnest(lls) AS line FROM ls),
+          dfr AS (SELECT doc_id,
+                         count(*) OVER (PARTITION BY line) AS dfreq
+                  FROM dl)
+          SELECT doc_id, count(*) AS lines,
+                 sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_lines,
+                 floor(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                       * 1000000.0 / count(*)::DOUBLE)::BIGINT AS dup_line_ppm
+          FROM dfr GROUP BY doc_id ORDER BY doc_id""",
+    // exact bigrams only (rows under 2 words contribute nothing), total
+    // occurrence counts, ties broken on the n-gram string
+    "p_top_ngrams" ->
+      s"""WITH wd AS (SELECT $normWords AS words FROM documents),
+          ng AS (SELECT unnest(CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+                       ELSE list_transform(generate_series(1, len(words) - 1),
+                                           i -> words[i] || ' ' || words[i+1])
+                       END) AS ngram
+                 FROM wd)
+          SELECT ngram, count(*) AS cnt FROM ng
+          GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""",
     // PII oracle: the identical pattern text (PiiPatterns is the single
     // source) over the identically-augmented text — counts AND the fully
     // redacted string byte-for-byte

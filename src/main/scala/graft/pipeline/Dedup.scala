@@ -49,6 +49,41 @@ object Dedup {
       .select(col("doc_id"), col("content_key"), col("keep_doc_id"))
   }
 
+  // -- line-level dedup ------------------------------------------------------
+
+  /** Corpus-level LINE dedup stats (RefinedWeb/C4-style boilerplate
+    * detection): per document, how many of its distinct non-empty lines
+    * appear in ≥ `minDf` documents. Returns `(doc_id, lines, dup_lines,
+    * dup_line_ppm)`; documents with no non-empty lines are absent.
+    *
+    * Scale shape — TWO exchanges total for a cross-document statistic:
+    * within-doc line dedup is MAP-SIDE (`array_distinct` on the staged
+    * line array), so the exploded frame carries doc-unique (doc_id,
+    * md5(line)) pairs; document frequency comes from ONE window count
+    * over the line-hash partition (count + join-back fused — no separate
+    * groupBy + join), then the per-doc rollup re-shuffles on doc_id.
+    * Lines travel as md5 hex (collision-free at corpus scale), never as
+    * text. The ppm column is the hash-stable integer-share idiom. */
+  def lineDupStats(df: DataFrame, text: Column, docId: Column,
+                   minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf below 2 flags every line, got $minDf")
+    val staged = df.select(docId.as("doc_id"),
+      array_distinct(filter(transform(split(text, "\n"), l => trim(l)),
+        l => length(l) > 0)).as("_ls"))
+    val docLine = staged
+      .select(col("doc_id"), explode_outer(col("_ls")).as("line"))
+      .where(col("line").isNotNull)
+      .select(col("doc_id"), md5(col("line")).as("_lh"))
+    val byLine = org.apache.spark.sql.expressions.Window.partitionBy(col("_lh"))
+    docLine.withColumn("_df", count(lit(1)).over(byLine))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("lines"),
+        sum((col("_df") >= minDf).cast("long")).as("dup_lines"))
+      .withColumn("dup_line_ppm",
+        floor(col("dup_lines").cast("double") * lit(1000000.0)
+          / col("lines").cast("double")))
+  }
+
   // -- Bloom-sketch incremental dedup --------------------------------------
 
   /** Incremental (cross-batch) exact dedup via a Bloom sketch of the

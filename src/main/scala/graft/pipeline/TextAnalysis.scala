@@ -89,6 +89,33 @@ object TextAnalysis {
       .withColumn(out, shinglesFromWords(col("_graft_words"), k))
       .drop("_graft_words")
 
+  /** Global top-`k` word n-grams by total occurrence count — the corpus
+    * statistic tokenizer training (BPE pair counts) and n-gram LM
+    * filtering start from. Exact n-grams only: rows with fewer than `n`
+    * words contribute nothing (unlike the shingle family's short-row
+    * sentinel, which would pollute the counts with unigrams).
+    *
+    * Scale shape: staged words → per-row n-gram array → explode_outer
+    * (outer dodges InferFiltersFromGenerate re-inlining the staged lambda
+    * — the known hazard) → partial-aggregated groupBy (map-side combine
+    * ships (ngram, count) pairs, never positions) → `orderBy.limit(k)`
+    * compiles to TakeOrderedAndProject: each task keeps its local top-k,
+    * the driver merges — no global sort. Ties break on the n-gram string
+    * so top-k is deterministic cross-engine. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, text: Column,
+                n: Int = 2, k: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, s"need n ≥ 1 and k ≥ 1, got n=$n k=$k")
+    val staged = df.select(words(text).as("_w"))
+      .select(when(size(col("_w")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("_w")) - (n - 1)),
+          i => array_join(slice(col("_w"), i, lit(n)), " "))).as("_ng"))
+    staged.select(explode_outer(col("_ng")).as("ngram"))
+      .where(col("ngram").isNotNull)
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** 64-bit document fingerprint: min of shingle hashes (winnowing-style —
     * stable under small edits far from the minimal shingle). Small-input
     * convenience; at scale stage via `withShingles` + `fingerprintFromShingles`. */

@@ -115,6 +115,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.forall(!_.getBoolean(3)), "empty history must flag nothing")
   }
 
+  test("lineDupStats: within-doc dedup, cross-doc document frequency, absent empty docs") {
+    val docs = Seq(
+      (1L, "shared header\nunique one\nshared header\n  \nshared footer"),
+      (2L, "shared header\nunique two\nshared footer"),
+      (3L, "unique three\nonly here"),
+      (4L, "   \n\n"), // no non-empty lines → absent
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDupStats(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: distinct lines {header, unique one, footer} — repeated line
+    // counts ONCE within the doc; header+footer shared with doc 2
+    assert(got(1L) == ((3L, 2L, 666666L)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 2L, 666666L)))
+    assert(got(3L) == ((2L, 0L, 0L)))
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
+
+  test("topNgrams: exact n-grams, short rows contribute nothing, deterministic ties") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // bigrams: "a b" ×2, "b c", "c a"
+      (2L, "a b"),          // "a b"
+      (3L, "solo"),         // 1 word → nothing
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, col("text"), n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a b", 3L), ("b c", 1L), ("c a", 1L)), s"got $top")
+    val top1 = TextAnalysis.topNgrams(docs, col("text"), n = 1, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top1 == Seq(("a", 3L), ("b", 3L)), s"got $top1") // tie broken on string
+  }
+
   test("exact dedup: groups + drop list keep min doc_id") {
     val groups = Dedup.exactGroups(docsDf, col("text"), col("doc_id")).collect()
     assert(groups.length == 1 && groups(0).getLong(1) == 2 && groups(0).getLong(2) == 1L)

@@ -140,6 +140,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), "no bloom probe in plan:\n" + p)
   }
 
+  test("topNgrams: TakeOrderedAndProject top-k, no staged-lambda recompute in a Filter") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = planOf(graft.pipeline.TextAnalysis.topNgrams(df, col("text")))
+    // local per-task top-k + driver merge — a global Sort here would
+    // materialize every distinct n-gram ordered
+    assert(p.contains("TakeOrderedAndProject"), "no TakeOrderedAndProject:\n" + p)
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Filter") && l.contains("array_join")),
+      "inferred filter re-inlined the n-gram lambda:\n" + p)
+  }
+
+  test("lineDupStats: a cross-document statistic in exactly two exchanges") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = planOf(graft.pipeline.Dedup.lineDupStats(df, col("text"), col("doc_id")))
+    // window df over the line hash + per-doc rollup; within-doc dedup is
+    // map-side array_distinct, so no third shuffle exists to pay
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex == 2, s"expected 2 exchanges, got $ex:\n" + p)
+  }
+
   test("piiScan is a pure map-side projection — zero exchanges") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = planOf(graft.pipeline.TextAnalysis.piiScan(df, col("text"), col("doc_id")))
