@@ -110,15 +110,23 @@ object Dedup {
                         batch: DataFrame, batchKey: Column,
                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1, "need items > 0, 0 < fpp < 1")
-    // optimal bits m = -n ln(p) / (ln 2)^2, capped at Spark's 2^26-byte
-    // aggregate ceiling guard (the caller sizes n honestly; an undersized
-    // filter degrades fpp, never correctness of the no-false-negative side)
+    // optimal bits m = -n ln(p) / (ln 2)^2, capped at the session's
+    // BloomFilterAggregate ceiling (default 2^26 bits ≈ 8 MiB ≈ 7M keys at
+    // 1% — raise spark.sql.optimizer.runtime.bloomFilter.maxNumBits for
+    // bigger histories; BloomFilterAggregate REJECTS numBits above it).
+    // An undersized filter degrades fpp, never the no-false-negative side.
+    val maxBits = history.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val numBits = math.min(
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
-      math.pow(2, 29).toLong)
+      maxBits)
+    // the items estimate has its own ceiling (default 4M) — clamping it
+    // only changes the derived hash-function count, never correctness
+    val maxItems = history.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val bloom = history
       .select(call_function("graft_bloom_agg",
-        xxhash64(histKey), lit(expectedItems), lit(numBits)).as("bf"))
+        xxhash64(histKey), lit(math.min(expectedItems, maxItems)), lit(numBits)).as("bf"))
       .head.getAs[Array[Byte]](0)
     // empty history → the aggregate evals to null → nothing is a duplicate
     if (bloom == null) batch.withColumn("might_dup", lit(false))

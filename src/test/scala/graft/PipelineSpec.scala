@@ -113,6 +113,12 @@ class PipelineSpec extends AnyFunSuite {
         batch, col("k"), expectedItems = 1000L)
       .collect()
     assert(none.forall(!_.getBoolean(3)), "empty history must flag nothing")
+    // an items estimate past the aggregate's conf ceilings must clamp to
+    // them (degraded fpp), not throw — and one-sided error still holds
+    val big = Dedup.bloomMightContain(hist, col("k"), batch, col("k"),
+        expectedItems = 100000000L, fpp = 0.001)
+      .collect().map(r => (r.getBoolean(2), r.getBoolean(3)))
+    assert(big.filter(_._1).forall(_._2), "clamped bloom missed a true member")
   }
 
   test("lineDupStats: within-doc dedup, cross-doc document frequency, absent empty docs") {
