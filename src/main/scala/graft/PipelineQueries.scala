@@ -273,6 +273,17 @@ object PipelineQueries {
     // global bigram counts — the statistic tokenizer training starts from
     "p_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), col("text"), n = 2, k = 100)),
+    // broadcast-dictionary scoring against the corpus's own top-500
+    // unigrams; only non-null ids are scored (groupBy would merge null
+    // ids into one row where the oracle's join rollup cannot)
+    "p_vocab_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.topNgrams(d, col("text"), n = 1, k = 500)
+        .withColumnRenamed("ngram", "word")
+      TextAnalysis.vocabScore(d.where(col("doc_id").isNotNull),
+          col("text"), col("doc_id"), vocab)
+        .orderBy("doc_id")
+    }),
 
     // -- decontamination + mixing ------------------------------------------
     "p_decontaminate" -> ((s, dir) => {
@@ -1010,6 +1021,26 @@ object PipelineQueries {
                  FROM wd)
           SELECT ngram, count(*) AS cnt FROM ng
           GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""",
+    // vocabulary from ALL docs; scoring re-derived per non-null-id doc via
+    // a LEFT JOIN rollup (zero-word docs keep their row with known 0;
+    // null-text docs keep a NULL word count, matching the engine)
+    "p_vocab_score" ->
+      s"""WITH wd AS (SELECT doc_id, $normWords AS words FROM documents),
+          uw AS (SELECT unnest(words) AS word FROM wd),
+          vocab AS (SELECT word, count(*) AS cnt FROM uw GROUP BY word
+                    ORDER BY cnt DESC, word LIMIT 500),
+          wds AS (SELECT * FROM wd WHERE doc_id IS NOT NULL),
+          dw AS (SELECT doc_id, unnest(words) AS word FROM wds),
+          sc AS (SELECT dw.doc_id,
+                        sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                          AS known_words,
+                        sum(coalesce(v.cnt, 0))::BIGINT AS known_count_sum
+                 FROM dw LEFT JOIN vocab v USING (word) GROUP BY dw.doc_id)
+          SELECT w.doc_id, len(w.words) AS words,
+                 coalesce(sc.known_words, 0) AS known_words,
+                 coalesce(sc.known_count_sum, 0) AS known_count_sum
+          FROM wds w LEFT JOIN sc USING (doc_id)
+          ORDER BY doc_id""",
     // PII oracle: the identical pattern text (PiiPatterns is the single
     // source) over the identically-augmented text — counts AND the fully
     // redacted string byte-for-byte

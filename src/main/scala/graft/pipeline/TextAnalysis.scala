@@ -116,6 +116,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Broadcast-dictionary familiarity scoring — the unigram-LM quality
+    * signal computed against a reference vocabulary `(word, cnt)` (e.g.
+    * [[topNgrams]] n=1 output, or a trusted-corpus word table): per doc,
+    * total words, words found in the vocabulary, and the summed reference
+    * counts of every occurrence. Integer outputs by design — a log-prob
+    * variant would hash-diverge across libm implementations; callers can
+    * take `ln` driver-side.
+    *
+    * Scale shape: staged words → explode (map) → BROADCAST hash join
+    * against the dictionary (map — the corpus side never shuffles for the
+    * lookup) → per-doc partial aggregate BEFORE the one doc_id exchange,
+    * so the shuffle carries one row per doc per task, never per word. */
+  def vocabScore(df: org.apache.spark.sql.DataFrame, text: Column, docId: Column,
+                 vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val staged = df.select(docId.as("doc_id"), words(text).as("_w"))
+    staged
+      .select(col("doc_id"), size(col("_w")).as("_n"),
+        explode_outer(col("_w")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("_n")).as("words"), // constant per doc; max dodges a group key
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("known_words"),
+        sum(coalesce(col("cnt"), lit(0L))).as("known_count_sum"))
+  }
+
   /** 64-bit document fingerprint: min of shingle hashes (winnowing-style —
     * stable under small edits far from the minimal shingle). Small-input
     * convenience; at scale stage via `withShingles` + `fingerprintFromShingles`. */

@@ -154,6 +154,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(top1 == Seq(("a", 3L), ("b", 3L)), s"got $top1") // tie broken on string
   }
 
+  test("vocabScore: per-doc rollup against a broadcast dictionary, degenerate docs kept") {
+    val d = Seq((1L, "a b a c"), (2L, "x y"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val vocab = Seq(("a", 10L), ("b", 5L), ("y", 2L)).toDF("word", "cnt")
+    val got = TextAnalysis.vocabScore(d, col("text"), col("doc_id"), vocab)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((4, 3L, 25L))) // a,b,a known → 10+5+10
+    assert(got(2L) == ((2, 1L, 2L)))
+    assert(got(3L) == ((0, 0L, 0L))) // zero words: row kept, nothing known
+    assert(got(4L) == ((-1, 0L, 0L))) // null text: null word count
+  }
+
   test("exact dedup: groups + drop list keep min doc_id") {
     val groups = Dedup.exactGroups(docsDf, col("text"), col("doc_id")).collect()
     assert(groups.length == 1 && groups(0).getLong(1) == 2 && groups(0).getLong(2) == 1L)
