@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dataset.CrossRow
 import graft.drift.Drift
-import graft.pipeline.{Dedup, Hashing, Packing, Sampling, Seeded, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Hashing, Packing, Sampling, Seeded, Sessionize, Similarity, TextAnalysis}
 
 /** Query battery part 2: cross-row operators, drift, stats sketches,
   * dedup/text/similarity pipeline ops — each with a DuckDB oracle.
@@ -331,6 +331,12 @@ object PipelineQueries {
       Packing.packStats(docs(s, dir), TextAnalysis.wsTokenCount(col("text")),
           col("doc_id"), col("source"), ctx = 256)
         .orderBy("stream")),
+
+    // gap-based sessionization over the events table (30-minute rule)
+    "p_sessions" -> ((s, dir) =>
+      Sessionize.sessions(s.read.parquet(s"$dir/events.parquet"),
+          col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800)
+        .orderBy("user_id", "session_idx")),
 
     // -- text analysis ------------------------------------------------------
     "p_pii_scan" -> ((s, dir) => {
@@ -1021,6 +1027,24 @@ object PipelineQueries {
                  FROM wd)
           SELECT ngram, count(*) AS cnt FROM ng
           GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""",
+    // sessionization re-derived: epoch_us lag → gap flags → running sum →
+    // rollup; all time arithmetic in integer micros
+    "p_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                    FROM events),
+          s AS (SELECT user_id, event_id, tus,
+                       sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM o)
+          SELECT user_id, session_idx, count(*) AS events,
+                 (max(tus) - min(tus))::BIGINT AS duration_us,
+                 min(event_id) AS first_event
+          FROM s GROUP BY user_id, session_idx
+          ORDER BY user_id, session_idx""",
     // vocabulary from ALL docs; scoring re-derived per non-null-id doc via
     // a LEFT JOIN rollup (zero-word docs keep their row with known 0;
     // null-text docs keep a NULL word count, matching the engine)

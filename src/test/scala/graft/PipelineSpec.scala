@@ -169,6 +169,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((-1, 0L, 0L))) // null text: null word count
   }
 
+  test("sessionize: gap rule, per-user indices, tie-broken duplicate timestamps") {
+    import java.sql.Timestamp
+    def t(min: Long, sec: Long = 0) = new Timestamp(min * 60000L + sec * 1000L)
+    val events = Seq(
+      // user 1: events at 0,10,20 min (one session), 60,65 (second), 200 (third)
+      (1L, t(0), 100L), (1L, t(10), 101L), (1L, t(20), 102L),
+      (1L, t(60), 103L), (1L, t(65), 104L), (1L, t(200), 105L),
+      // user 2: duplicate timestamps — order falls back to event_id
+      (2L, t(0), 200L), (2L, t(0), 201L), (2L, t(31), 202L))
+      .toDF("user_id", "ts", "event_id")
+    val got = graft.pipeline.Sessionize.sessions(events,
+        col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got((1L, 1L)) == ((3L, 20L * 60000000L, 100L)))
+    assert(got((1L, 2L)) == ((2L, 5L * 60000000L, 103L)))
+    assert(got((1L, 3L)) == ((1L, 0L, 105L)))
+    // 31-minute gap > 30-minute rule → user 2 splits after the tied pair
+    assert(got((2L, 1L)) == ((2L, 0L, 200L)))
+    assert(got((2L, 2L)) == ((1L, 0L, 202L)))
+    assert(got.size == 5)
+  }
+
   test("exact dedup: groups + drop list keep min doc_id") {
     val groups = Dedup.exactGroups(docsDf, col("text"), col("doc_id")).collect()
     assert(groups.length == 1 && groups(0).getLong(1) == 2 && groups(0).getLong(2) == 1L)

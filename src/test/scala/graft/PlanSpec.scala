@@ -159,6 +159,17 @@ class PlanSpec extends AnyFunSuite {
     assert(ex == 2, s"expected 2 exchanges, got $ex:\n" + p)
   }
 
+  test("sessionize: windows + session rollup share ONE user exchange") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val p = planOf(graft.pipeline.Sessionize.sessions(df,
+      col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800))
+    // lag + running sum share one partition/sort, and the rollup's
+    // (user, session) clustering is satisfied by the user partitioning —
+    // a second exchange means the groupBy re-shuffled the window output
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex == 1, s"expected 1 exchange, got $ex:\n" + p)
+  }
+
   test("piiScan is a pure map-side projection — zero exchanges") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = planOf(graft.pipeline.TextAnalysis.piiScan(df, col("text"), col("doc_id")))
