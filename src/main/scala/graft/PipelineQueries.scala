@@ -344,8 +344,9 @@ object PipelineQueries {
       // (generator-contract oracle, the p_image_meta pattern): the oracle
       // builds the same augmented text in SQL and the engine's regex scan +
       // redaction must agree byte-for-byte. Plain `%` (sign-of-dividend)
-      // everywhere — doc_id < 0 rows exist and pmod would diverge from
-      // DuckDB's `%`.
+      // everywhere, defensively: the generated corpus has only
+      // non-negative doc_ids today, but pmod would silently diverge from
+      // DuckDB's `%` the day a negative id appears.
       val planted = concat(
         col("text"),
         when(col("doc_id") % 7 === 0,
@@ -1033,8 +1034,10 @@ object PipelineQueries {
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
                            lag(epoch_us(ts)) OVER
                              (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-                    FROM events),
+                    FROM events WHERE ts IS NOT NULL),
           s AS (SELECT user_id, event_id, tus,
+                       CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                            THEN 1 ELSE 0 END AS opener,
                        sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
                                 THEN 1 ELSE 0 END)
                          OVER (PARTITION BY user_id ORDER BY tus, event_id
@@ -1042,7 +1045,7 @@ object PipelineQueries {
                 FROM o)
           SELECT user_id, session_idx, count(*) AS events,
                  (max(tus) - min(tus))::BIGINT AS duration_us,
-                 min(event_id) AS first_event
+                 min(CASE WHEN opener = 1 THEN event_id END) AS first_event
           FROM s GROUP BY user_id, session_idx
           ORDER BY user_id, session_idx""",
     // vocabulary from ALL docs; scoring re-derived per non-null-id doc via

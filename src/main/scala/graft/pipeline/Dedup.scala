@@ -124,7 +124,12 @@ object Dedup {
     // only changes the derived hash-function count, never correctness
     val maxItems = history.sparkSession.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val bloom = history
+    // null keys are NOT members: xxhash64(NULL) returns the seed, so an
+    // unguarded hash would alias every null-keyed row (history and batch)
+    // to one constant key and report distinct null-keyed docs as mutual
+    // duplicates — null history keys never enter the sketch, null batch
+    // keys never probe
+    val bloom = history.where(histKey.isNotNull)
       .select(call_function("graft_bloom_agg",
         xxhash64(histKey), lit(math.min(expectedItems, maxItems)), lit(numBits)).as("bf"))
       .head.getAs[Array[Byte]](0)
@@ -134,7 +139,8 @@ object Dedup {
     // (BloomFilterMightContain requires it): one task-side deserialize,
     // then a codegen'd per-row probe — the trained-centroid pattern
     else batch.withColumn("might_dup",
-      call_function("graft_bloom_contains", lit(bloom), xxhash64(batchKey)))
+      when(batchKey.isNull, lit(false))
+        .otherwise(call_function("graft_bloom_contains", lit(bloom), xxhash64(batchKey))))
   }
 
   // -- MinHash + LSH -------------------------------------------------------

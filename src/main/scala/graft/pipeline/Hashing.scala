@@ -42,6 +42,18 @@ object Hashing {
     def seeded(x: String, seed: String): String = plain(s"concat($seed, '|', $x)")
   }
 
+  /** Null-forced ppm bucket of an id column: `hash(id string) mod 10⁶`,
+    * NULL for null ids. The single definition of hash-membership
+    * bucketing (splitAssign, tokenBudgetSample) — the null force matters
+    * because `xxhash64(NULL)` returns the SEED (42), which would silently
+    * slot every null id into bucket 42 under the production family while
+    * the md5 oracle family nulls out; hand-rolled copies of this guard
+    * have already drifted once (bloomMightContain shipped without it). */
+  def ppmBucket(id: Column, hash: HashFamily): Column =
+    when(id.isNull, lit(null).cast(LongType))
+      .otherwise(pmod(hash.plain(id.cast(org.apache.spark.sql.types.StringType)),
+        lit(1000000L)))
+
   /** Affine rehash family for MinHash lanes: ONE strong base hash per value,
     * then lane i = (base mod P) · a_i + b_i mod P (P = 2³¹−1, a_i odd,
     * splitmix-seeded). 32 lanes cost one md5/xxhash + 32 multiply-adds

@@ -111,9 +111,7 @@ object Sampling {
           col("budget").cast("double") * lit(1000000.0) / col("_tk").cast("double")))
           .as("_keep_ppm"))
     df.join(broadcast(frac), Seq(key))
-      .where(when(col(docId).isNull, lit(null))
-        .otherwise(pmod(hash.plain(col(docId).cast(org.apache.spark.sql.types.StringType)),
-          lit(1000000L))) < col("_keep_ppm"))
+      .where(Hashing.ppmBucket(col(docId), hash) < col("_keep_ppm"))
       .drop("_keep_ppm")
   }
 
@@ -132,15 +130,15 @@ object Sampling {
     * queries pass [[Hashing.Md5]] so DuckDB reproduces every assignment
     * bit-for-bit (the md5 value is non-negative by construction, so `pmod`
     * here and `%` in the twin agree). Null ids bucket to null and fall to
-    * `train` in both engines (CASE semantics). */
+    * `train` in both engines and BOTH hash families —
+    * [[Hashing.ppmBucket]] forces the null (xxhash64(NULL) returns the
+    * seed, which would otherwise send null ids to bucket 42 = `val`). */
   def splitAssign(df: DataFrame, docId: String,
                   valPpm: Long = 10000L, testPpm: Long = 10000L,
                   hash: Hashing.HashFamily = Hashing.Xx): DataFrame = {
     require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
       s"split fractions must be non-negative ppm summing to ≤ 1e6, got $valPpm + $testPpm")
-    df.withColumn("bucket",
-        pmod(hash.plain(col(docId).cast(org.apache.spark.sql.types.StringType)),
-          lit(1000000L)))
+    df.withColumn("bucket", Hashing.ppmBucket(col(docId), hash))
       .withColumn("split",
         when(col("bucket") < valPpm, "val")
           .when(col("bucket") < valPpm + testPpm, "test")

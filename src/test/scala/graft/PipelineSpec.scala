@@ -119,6 +119,27 @@ class PipelineSpec extends AnyFunSuite {
         expectedItems = 100000000L, fpp = 0.001)
       .collect().map(r => (r.getBoolean(2), r.getBoolean(3)))
     assert(big.filter(_._1).forall(_._2), "clamped bloom missed a true member")
+    // null keys are never members and never probe: xxhash64(NULL) = seed
+    // would otherwise alias every null-keyed row to one constant key
+    val nk = Dedup.bloomMightContain(
+        hist.unionByName(Seq((9999L, null.asInstanceOf[String])).toDF("id", "k")), col("k"),
+        batch.select(col("id"), when(col("id") === 2001L, lit(null)).otherwise(col("k")).as("k"),
+          col("truth")), col("k"),
+        expectedItems = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!nk(2001L), "null batch key must not probe as a member")
+    assert((1 to 50).forall(i => nk(1000L + i)), "null history key corrupted the sketch")
+  }
+
+  test("splitAssign: null ids bucket to train under BOTH hash families") {
+    import graft.pipeline.{Hashing, Sampling}
+    val df = Seq[java.lang.Long](1L, 2L, null).toDF("doc_id")
+    for (h <- Seq(Hashing.Xx, Hashing.Md5)) {
+      val r = Sampling.splitAssign(df, "doc_id", 100000L, 100000L, h)
+        .where(col("doc_id").isNull).collect()
+      assert(r.length == 1 && r(0).isNullAt(1) && r(0).getString(2) == "train",
+        s"null id must bucket null/train, got ${r.toSeq}")
+    }
   }
 
   test("lineDupStats: within-doc dedup, cross-doc document frequency, absent empty docs") {
@@ -177,7 +198,11 @@ class PipelineSpec extends AnyFunSuite {
       (1L, t(0), 100L), (1L, t(10), 101L), (1L, t(20), 102L),
       (1L, t(60), 103L), (1L, t(65), 104L), (1L, t(200), 105L),
       // user 2: duplicate timestamps — order falls back to event_id
-      (2L, t(0), 200L), (2L, t(0), 201L), (2L, t(31), 202L))
+      (2L, t(0), 200L), (2L, t(0), 201L), (2L, t(31), 202L),
+      // user 3: ids NOT time-monotone — first_event is the opener (999),
+      // not min(event_id); plus a null-ts event that must be excluded
+      (3L, t(0), 999L), (3L, t(5), 50L),
+      (3L, null.asInstanceOf[java.sql.Timestamp], 51L))
       .toDF("user_id", "ts", "event_id")
     val got = graft.pipeline.Sessionize.sessions(events,
         col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800)
@@ -190,7 +215,9 @@ class PipelineSpec extends AnyFunSuite {
     // 31-minute gap > 30-minute rule → user 2 splits after the tied pair
     assert(got((2L, 1L)) == ((2L, 0L, 200L)))
     assert(got((2L, 2L)) == ((1L, 0L, 202L)))
-    assert(got.size == 5)
+    // opener semantics + null-ts exclusion: 2 events, first by TIME is 999
+    assert(got((3L, 1L)) == ((2L, 5L * 60000000L, 999L)))
+    assert(got.size == 6)
   }
 
   test("exact dedup: groups + drop list keep min doc_id") {
