@@ -91,9 +91,18 @@ object PipelineQueries {
       md5(id.cast("string")).as("part"))
     val v = CrossRow.uniqueness(df, "doc_id", "part", checkpointDups = true)
     if (hot) {
-      v.violations.collect() // execute → FINAL adaptive plan
+      // the assert must execute the BARE violations frame: a rollup above
+      // the join gets its clustering for free from the join's output
+      // partitioning, so OptimizeSkewedJoin declines to split there (the
+      // split would force an extra shuffle — AQE's default guard). The
+      // collected rows are then rolled up driver-side into a local
+      // relation, so the deliberately-skewed join executes exactly ONCE
+      // per invocation instead of once for the assert and again for the
+      // battery.
+      val viol = v.violations.select(col("doc_id"), col("observed"))
+      val rows = viol.collect()
       val skewed = graft.tools.SuitePlanProbe
-        .walk(v.violations.queryExecution.executedPlan)
+        .walk(viol.queryExecution.executedPlan)
         .exists {
           case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
             smj.isSkewJoin
@@ -102,9 +111,14 @@ object PipelineQueries {
           case _ => false
         }
       require(skewed, "AQE did not skew-split the hot-key join-back partition")
-    }
-    v.violations.groupBy(col("doc_id"), col("observed"))
-      .agg(count(lit(1)).as("n")).orderBy("doc_id")
+      import sess.implicits._
+      rows.toSeq.groupBy(r => (r.getString(0), r.getString(1)))
+        .map { case ((d, o), g) => (d, o, g.size.toLong) }
+        .toSeq.sortBy(t => (t._1, t._2))
+        .toDF("doc_id", "observed", "n")
+    } else
+      v.violations.groupBy(col("doc_id"), col("observed"))
+        .agg(count(lit(1)).as("n")).orderBy("doc_id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -985,7 +999,7 @@ object PipelineQueries {
                              coalesce(($wsTokSql), 0)::BIGINT AS tok
                       FROM documents),
           c AS (SELECT stream, tok,
-                       sum(tok) OVER (PARTITION BY stream ORDER BY doc_id
+                       sum(tok) OVER (PARTITION BY stream ORDER BY doc_id, tok
                                       ROWS UNBOUNDED PRECEDING) AS e
                 FROM tk),
           a AS (SELECT stream, tok,

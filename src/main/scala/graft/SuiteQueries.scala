@@ -220,9 +220,15 @@ object SuiteQueries {
     * or records wrong per-part totals is a row/hash mismatch against the
     * independent derivation above. */
   def resumedVerdicts(s: SparkSession, dir: String): DataFrame = {
-    val store = graft.stats.MetricsStore(
-      java.nio.file.Files.createTempDirectory("graft_resume_")
-        .resolve("store").toString)
+    // ONE fixed store location, wiped per invocation — a fresh temp dir
+    // per call leaked a full parquet store every bench/verify rep
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_resume_store")
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    val store = graft.stats.MetricsStore(root.resolve("store").toString)
     val dim = graft.data.SequenceGen.dimSources(s)
     val full = seqFromEvents(s, dir)
     val firstHalf = (0 until Parts / 2).map(i => s"p$i")

@@ -107,11 +107,13 @@ object Multimodal {
       val (w, h) = imageDims(bytes); (w, h, 1)
     } else throw new IllegalArgumentException("unknown media container")
 
-  /** Parsed ISO-BMFF header fields (plus uniform sample size for frame
-    * slicing — 0 when per-sample sizes vary). */
+  /** Parsed ISO-BMFF header fields. `sampleSize` is the uniform sample
+    * size, 0 when sizes vary per sample — then the stsz entry table at
+    * `stszTable` (validated in-bounds) carries one 32-bit size per
+    * sample. */
   private final case class Mp4Header(width: Int, height: Int, nFrames: Int,
                                      timescale: Int, durationTicks: Long,
-                                     sampleSize: Int)
+                                     sampleSize: Int, stszTable: Int)
 
   /** Scan the sibling boxes in `bytes[start, end)` for the first `fourcc`;
     * returns the PAYLOAD bounds. Rejects malformed sizes (size < 8 or
@@ -124,14 +126,32 @@ object Multimodal {
         ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
     var off = start
     while (off + 8 <= end) {
-      val size = i32(off)
-      if (size < 8 || off + size > end) return None
+      // the 32-bit size field is UNSIGNED and attacker-controlled: widen to
+      // Long BEFORE the bounds check — `off + size` in Int can wrap
+      // negative, pass the guard, and turn the reject into an
+      // ArrayIndexOutOfBounds
+      val size = i32(off).toLong & 0xffffffffL
+      if (size < 8L || off.toLong + size > end) return None
       if (bytes(off + 4) == fourcc(0) && bytes(off + 5) == fourcc(1) &&
           bytes(off + 6) == fourcc(2) && bytes(off + 7) == fourcc(3))
-        return Some((off + 8, off + size))
-      off += size
+        return Some((off + 8, (off + size).toInt))
+      off = (off + size).toInt
     }
     None
+  }
+
+  /** All sibling boxes named `fourcc` in `bytes[start, end)`, in order. */
+  private def findBoxes(bytes: Array[Byte], start: Int, end: Int,
+                        fourcc: String): List[(Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    var s = start
+    var next = findBox(bytes, s, end, fourcc)
+    while (next.isDefined) {
+      out += next.get
+      s = next.get._2
+      next = findBox(bytes, s, end, fourcc)
+    }
+    out.toList
   }
 
   /** REAL video container codec — a from-scratch ISO-BMFF (MP4) box-tree
@@ -158,7 +178,18 @@ object Multimodal {
     v0(mvhd._1, "mvhd")
     val timescale = i32(mvhd._1 + 12)
     val duration = i32(mvhd._1 + 16).toLong & 0xffffffffL
-    val trak = payload(findBox(bytes, moov._1, moov._2, "trak"), "trak")
+    // select the VIDEO track by its mdia/hdlr handler type — real muxers
+    // freely order traks (audio first is common), and an audio trak's tkhd
+    // has width/height 0 with stsz counting audio samples; fall back to
+    // the first trak only when no trak declares 'vide'
+    val traks = findBoxes(bytes, moov._1, moov._2, "trak")
+    if (traks.isEmpty) payload(None, "trak")
+    def handlerOf(tr: (Int, Int)): Option[String] = for {
+      mdia <- findBox(bytes, tr._1, tr._2, "mdia")
+      hdlr <- findBox(bytes, mdia._1, mdia._2, "hdlr")
+      if hdlr._1 + 12 <= hdlr._2
+    } yield new String(bytes, hdlr._1 + 8, 4, "US-ASCII")
+    val trak = traks.find(t => handlerOf(t).contains("vide")).getOrElse(traks.head)
     val tkhd = payload(findBox(bytes, trak._1, trak._2, "tkhd"), "tkhd")
     v0(tkhd._1, "tkhd")
     val width = i32(tkhd._1 + 76) >>> 16
@@ -168,8 +199,16 @@ object Multimodal {
     val stbl = payload(findBox(bytes, minf._1, minf._2, "stbl"), "stbl")
     val stsz = payload(findBox(bytes, stbl._1, stbl._2, "stsz"), "stsz")
     v0(stsz._1, "stsz")
-    Mp4Header(width, height, i32(stsz._1 + 8), timescale, duration,
-      i32(stsz._1 + 4))
+    val sampleSize = i32(stsz._1 + 4)
+    val nFrames = i32(stsz._1 + 8)
+    if (nFrames < 0)
+      throw new IllegalArgumentException("ISO-BMFF: negative sample count")
+    // sample_size == 0 means a per-sample 32-bit size table follows — the
+    // encoding every real compressed track uses; validate it fits the box
+    if (sampleSize == 0 && stsz._1 + 12 + 4L * nFrames > stsz._2)
+      throw new IllegalArgumentException("ISO-BMFF: stsz table truncated")
+    Mp4Header(width, height, nFrames, timescale, duration,
+      sampleSize, stsz._1 + 12)
   }
 
   /** Batched metadata extraction: one partition = one iterator pass, no
@@ -377,24 +416,44 @@ object Multimodal {
 
   /** Video frame sampling: every `everyN`th frame as its own (exploded)
     * row. For ISO-BMFF payloads the slicing is REAL: sample boundaries come
-    * from the parsed stsz uniform sample size and the located `mdat`
-    * payload, exactly how a demuxer addresses samples (uniform-size tracks;
-    * a per-sample stsz table would extend the same walk). GRF0 payloads
-    * keep the legacy proportional slicing ==== STUB slicing (GRF0 only) ====. */
+    * from the parsed stsz — the uniform sample size, or the per-sample
+    * 32-bit size table when sample_size == 0 (the encoding every real
+    * compressed track uses) — against the located `mdat` payload, exactly
+    * how a demuxer addresses samples. Corrupt/unparseable videos emit NO
+    * frames rather than aborting the job (the quarantine contract:
+    * `decodeVideoMeta` sentinels the same payloads for the verdict
+    * machinery). GRF0 payloads keep the legacy proportional slicing
+    * ==== STUB slicing (GRF0 only) ====. */
   def frameSample(ds: Dataset[MediaRow], everyN: Int = 4): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.filter(_.media_type == "video").mapPartitions { rows =>
       rows.flatMap { r =>
         val b = r.media
         if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
-          val m = mp4Meta(b)
-          val (mdStart, mdEnd) = findBox(b, 0, b.length, "mdat")
-            .getOrElse(throw new IllegalArgumentException("ISO-BMFF: no mdat box"))
-          val sz = math.max(m.sampleSize, 1)
-          (0 until m.nFrames by everyN).map { f =>
-            Frame(r.doc_id, f,
-              b.slice(mdStart + f * sz, math.min(mdStart + (f + 1) * sz, mdEnd)))
-          }
+          try {
+            val m = mp4Meta(b)
+            val (mdStart, mdEnd) = findBox(b, 0, b.length, "mdat")
+              .getOrElse(throw new IllegalArgumentException("ISO-BMFF: no mdat box"))
+            def i32(off: Int): Int =
+              ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+                ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+            // start offset of each sample inside mdat: uniform stride, or
+            // prefix sums over the stsz entry table (bounds-validated by
+            // mp4Meta)
+            val starts = new Array[Long](m.nFrames + 1)
+            var f = 0
+            while (f < m.nFrames) {
+              val sz = if (m.sampleSize > 0) m.sampleSize.toLong
+                       else i32(m.stszTable + 4 * f).toLong & 0xffffffffL
+              starts(f + 1) = starts(f) + sz
+              f += 1
+            }
+            (0 until m.nFrames by everyN).map { i =>
+              val from = math.min(mdStart + starts(i), mdEnd.toLong).toInt
+              val until = math.min(mdStart + starts(i + 1), mdEnd.toLong).toInt
+              Frame(r.doc_id, i, b.slice(from, until))
+            }
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty[Frame] }
         } else {
           val (_, _, frames) = decodeStub(b)
           val payload = b.drop(16)

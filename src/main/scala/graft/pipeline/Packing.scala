@@ -42,7 +42,13 @@ object Packing {
   def packAssignments(df: DataFrame, tokens: Column, docId: Column,
                       stream: Column, ctx: Int): DataFrame = {
     require(ctx > 0, s"ctx must be positive, got $ctx")
-    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+    // full tiebreak (doc_id, n_tok), nulls last to match SQL defaults: a
+    // doc_id-only ROWS frame makes placement partition-layout-dependent
+    // when (stream, doc_id) repeats with different token counts —
+    // remaining ties are between identical rows, whose placements are
+    // interchangeable, so the layout is well-defined
+    val w = Window.partitionBy(col("stream"))
+      .orderBy(col("doc_id").asc_nulls_last, col("n_tok").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(stream.as("stream"), docId.as("doc_id"),
         coalesce(tokens.cast("long"), lit(0L)).as("n_tok"))

@@ -861,4 +861,61 @@ class PipelineSpec extends AnyFunSuite {
     val sents = Multimodal.decodeVideoMeta(bad).collect()
     assert(sents.forall(s => s.width == -1 && s.n_frames == 0))
   }
+
+  test("video: per-sample stsz tables, audio-first trak order, hostile box sizes") {
+    import spark.implicits._
+    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(fourcc.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    val ftyp = box("ftyp", "isomxxxxisom".getBytes("US-ASCII"))
+    def mvhd = box("mvhd", java.nio.ByteBuffer.allocate(100)
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(50).array())
+    def mdhd = box("mdhd", new Array[Byte](24))
+    def hdlr(kind: String) = box("hdlr", java.nio.ByteBuffer.allocate(25)
+      .putInt(0).putInt(0).put(kind.getBytes("US-ASCII")).array())
+    def tkhd(w: Int, h: Int) = box("tkhd", java.nio.ByteBuffer.allocate(84)
+      .putInt(0).putInt(0).putInt(0).putInt(1)
+      .put(new Array[Byte](60)).putInt(w << 16).putInt(h << 16).array())
+    def trak(kind: String, w: Int, h: Int, stsz: Array[Byte]) =
+      box("trak", cat(tkhd(w, h),
+        box("mdia", cat(mdhd, hdlr(kind), box("minf", box("stbl", stsz))))))
+    // A: variable frame sizes [3, 5, 2] via the stsz per-sample TABLE form
+    val stszTable = box("stsz", java.nio.ByteBuffer.allocate(24)
+      .putInt(0).putInt(0).putInt(3).putInt(3).putInt(5).putInt(2).array())
+    val mdatA = box("mdat", Array.tabulate[Byte](10)(i => (i + 1).toByte))
+    val fileA = cat(ftyp, box("moov", cat(mvhd, trak("vide", 64, 32, stszTable))), mdatA)
+    // B: AUDIO trak first (w=h=0, 99 samples) — metadata must come from
+    // the 'vide' trak behind it
+    val stszAudio = box("stsz", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(4).putInt(99).array())
+    val stszVide = box("stsz", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(16).putInt(2).array())
+    val fileB = cat(ftyp, box("moov", cat(mvhd,
+      trak("soun", 0, 0, stszAudio), trak("vide", 48, 24, stszVide))),
+      box("mdat", new Array[Byte](32)))
+    // C: hostile box size near Int.MaxValue on a box the scan must SKIP —
+    // Int `off + size` wraps negative and walks off the array; the Long
+    // guard must reject instead
+    val fileC = cat(ftyp, java.nio.ByteBuffer.allocate(8)
+      .putInt(0x7ffffff0).put("free".getBytes("US-ASCII")).array())
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", fileA),
+      Multimodal.MediaRow(2L, "video", fileB),
+      Multimodal.MediaRow(3L, "video", fileC)))
+    val meta = Multimodal.decodeVideoMeta(ds).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 64 && meta(1L).n_frames == 3)
+    assert(meta(2L).width == 48 && meta(2L).height == 24 && meta(2L).n_frames == 2,
+      s"vide trak not selected: ${meta(2L)}")
+    assert(meta(3L).width == -1, "hostile size must sentinel, not crash")
+    // table-driven slicing: frames of 3, 5, 2 bytes reassemble mdat
+    val fr = Multimodal.frameSample(ds, everyN = 1).collect()
+      .filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(fr.map(_.frame.length).toSeq == Seq(3, 5, 2), s"got ${fr.map(_.frame.length).toSeq}")
+    assert(fr.flatMap(_.frame).toSeq == (1 to 10).map(_.toByte).toSeq)
+    // corrupt videos emit no frames instead of aborting the job
+    assert(Multimodal.frameSample(ds, everyN = 1).collect().count(_.doc_id == 3L) == 0)
+  }
 }
