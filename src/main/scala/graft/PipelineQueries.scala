@@ -99,7 +99,12 @@ object PipelineQueries {
       // relation, so the deliberately-skewed join executes exactly ONCE
       // per invocation instead of once for the assert and again for the
       // battery.
-      val viol = v.violations.select(col("doc_id"), col("observed"))
+      // collect FULL-WIDTH rows: pruning to (doc_id, observed) strips the
+      // high-entropy md5 part column from the join's shuffle, and AQE skew
+      // detection reads COMPRESSED map sizes — the all-"hot" residue then
+      // compresses below the threshold and the split intermittently never
+      // fires (observed in the full-battery run; the known entropy hazard)
+      val viol = v.violations
       val rows = viol.collect()
       val skewed = graft.tools.SuitePlanProbe
         .walk(viol.queryExecution.executedPlan)
@@ -112,7 +117,9 @@ object PipelineQueries {
         }
       require(skewed, "AQE did not skew-split the hot-key join-back partition")
       import sess.implicits._
-      rows.toSeq.groupBy(r => (r.getString(0), r.getString(1)))
+      val di = viol.schema.fieldIndex("doc_id")
+      val oi = viol.schema.fieldIndex("observed")
+      rows.toSeq.groupBy(r => (r.getString(di), r.getString(oi)))
         .map { case ((d, o), g) => (d, o, g.size.toLong) }
         .toSeq.sortBy(t => (t._1, t._2))
         .toDF("doc_id", "observed", "n")
