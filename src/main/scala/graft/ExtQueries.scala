@@ -93,6 +93,54 @@ object ExtQueries {
     s.table(sink).orderBy("k")
   }
 
+  /** Native `session_window` gap sessions over a REAL stream — the
+    * streaming twin of the batch `Sessionize.sessions` operator. The
+    * built-in merges sessions INCLUSIVELY at the boundary (measured,
+    * StreamingSpec pins it): a gap of exactly the threshold stays in the
+    * SAME session, so the oracle's new-session flag is `>` — identical to
+    * the batch operator's rule. */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedEventsDir(dir)
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema).parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+    val out = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("events"), min(col("event_id")).as("min_event"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        col("events"), col("min_event"))
+    val sink = s"graft_stream_sessions_${math.abs(path.hashCode)}"
+    s.catalog.dropTempView(sink) // re-runnable within one session
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy("user_id", "s_start")
+  }
+
+  /** Sessions re-derived with window SQL: the session START is the first
+    * event's timestamp (second-truncated like date_format), events and
+    * min_event per (user, session). */
+  private val streamSessionsOracle =
+    """WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+                         lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events),
+       s AS (SELECT user_id, event_id, ts,
+                    sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY tus, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+             FROM o)
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+              count(*) AS events, min(event_id) AS min_event
+       FROM s GROUP BY user_id, sid
+       ORDER BY user_id, s_start"""
+
   private val streamDedupOracle =
     """SELECT event_id % 4000 AS k, count(*) AS occurrences
        FROM events GROUP BY 1 HAVING count(*) > 1 ORDER BY k"""
@@ -188,6 +236,7 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_verdicts" -> (streamVerdicts _),
     "s_stream_dedup" -> (streamDedupCounts _),
+    "s_stream_sessions" -> (streamSessions _),
     "p_multimodal_meta" -> ((s, _) =>
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, MediaRows)).toDF()
         .orderBy("doc_id")),
@@ -205,6 +254,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "s_stream_verdicts" -> streamOracle,
     "s_stream_dedup" -> streamDedupOracle,
+    "s_stream_sessions" -> streamSessionsOracle,
     "p_multimodal_meta" -> multimodalOracle,
     "p_image_meta" -> imageMetaOracle,
     "p_audio_meta" -> audioMetaOracle,

@@ -67,6 +67,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(w1.length == 1 && w1.head._3 == 1 && w1.head._4 == 0)
   }
 
+  test("session_window: exact-gap boundary MERGES; only a strictly larger gap splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KEv]
+    val out = mem.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("k"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("k"), col("session_window.start").cast("string").as("s"),
+        col("events"))
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    mem.addData(
+      KEv(1L, ts("2026-01-01 00:00:00")),
+      KEv(1L, ts("2026-01-01 00:29:59")), // < gap → same session
+      KEv(1L, ts("2026-01-01 00:59:59")), // exactly 30:00 later → MERGES
+      KEv(1L, ts("2026-01-01 01:30:00")), // 30:01 later → new session
+      KEv(2L, ts("2026-01-01 00:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    // pins the INCLUSIVE boundary merge — the same `>` split rule as the
+    // batch Sessionize operator, so the two front-ends agree everywhere
+    assert(rows == Set(
+      (1L, "2026-01-01 00:00:00", 3L),
+      (1L, "2026-01-01 01:30:00", 1L),
+      (2L, "2026-01-01 00:00:00", 1L)),
+      s"session_window boundary semantics changed: $rows")
+  }
+
   test("stateful streaming dedup ledger accumulates counts ACROSS batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
