@@ -50,6 +50,20 @@ object ExtQueries {
     staged.getParent.toString
   }
 
+  /** Shared sink scaffold for the streaming queries: run a streaming frame
+    * to a named memory sink under AvailableNow and return the sink table
+    * (dropTempView first so one session can re-run the query). */
+  private def runToMemorySink(s: SparkSession, out: DataFrame, sink: String,
+                              mode: String): DataFrame = {
+    s.catalog.dropTempView(sink)
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   private def streamVerdicts(s: SparkSession, dir: String): DataFrame = {
     val path = stagedEventsDir(dir)
     val schema = s.read.parquet(path).schema
@@ -63,14 +77,8 @@ object ExtQueries {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("constraint_id"), col("total"), col("violations"), col("pass"))
-    val sink = s"graft_stream_sink_${math.abs(path.hashCode)}"
-    s.catalog.dropTempView(sink) // re-runnable within one session
-    val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink).orderBy("w_start", "constraint_id")
+    runToMemorySink(s, out, s"graft_stream_sink_${math.abs(path.hashCode)}",
+      "complete").orderBy("w_start", "constraint_id")
   }
 
   /** Stateful streaming dedup ledger (`flatMapGroupsWithState`): per-key
@@ -83,14 +91,8 @@ object ExtQueries {
     val stream = s.readStream.schema(schema).parquet(path)
     val out = graft.streaming.StreamDedup.duplicateCounts(
       stream, pmod(col("event_id"), lit(4000)))
-    val sink = s"graft_stream_dedup_${math.abs(path.hashCode)}"
-    s.catalog.dropTempView(sink) // re-runnable within one session
-    val q = out.toDF().writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink).orderBy("k")
+    runToMemorySink(s, out.toDF(),
+      s"graft_stream_dedup_${math.abs(path.hashCode)}", "update").orderBy("k")
   }
 
   /** Native `session_window` gap sessions over a REAL stream — the
@@ -111,14 +113,9 @@ object ExtQueries {
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
         col("events"), col("min_event"))
-    val sink = s"graft_stream_sessions_${math.abs(path.hashCode)}"
-    s.catalog.dropTempView(sink) // re-runnable within one session
-    val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink).orderBy("user_id", "s_start")
+    runToMemorySink(s, out,
+      s"graft_stream_sessions_${math.abs(path.hashCode)}", "complete")
+      .orderBy("user_id", "s_start")
   }
 
   /** Sessions re-derived with window SQL: the session START is the first
@@ -128,7 +125,7 @@ object ExtQueries {
     """WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
                          lag(epoch_us(ts)) OVER
                            (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-                  FROM events),
+                  FROM events WHERE ts IS NOT NULL),
        s AS (SELECT user_id, event_id, ts,
                     sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
                              THEN 1 ELSE 0 END)

@@ -220,14 +220,19 @@ object SuiteQueries {
     * or records wrong per-part totals is a row/hash mismatch against the
     * independent derivation above. */
   def resumedVerdicts(s: SparkSession, dir: String): DataFrame = {
-    // ONE fixed store location, wiped per invocation — a fresh temp dir
-    // per call leaked a full parquet store every bench/verify rep
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_resume_store")
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    // ONE per-JVM store location, wiped per invocation — a fresh temp dir
+    // per call leaked a full parquet store every bench/verify rep. The pid
+    // suffix keeps concurrent JVMs (and other users' stale dirs, which we
+    // could not delete) out of each other's store; the walk stream holds
+    // directory handles and must be closed
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_resume_store_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
     val store = graft.stats.MetricsStore(root.resolve("store").toString)
     val dim = graft.data.SequenceGen.dimSources(s)
     val full = seqFromEvents(s, dir)

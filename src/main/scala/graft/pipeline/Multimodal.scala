@@ -173,8 +173,16 @@ object Multimodal {
     def v0(off: Int, what: String): Unit =
       if ((bytes(off) & 0xff) != 0)
         throw new IllegalArgumentException(s"ISO-BMFF: $what version != 0")
+    // every fixed-offset read below is preceded by a payload-length check:
+    // findBox only guarantees size >= 8, so a truncated box would otherwise
+    // silently return NEIGHBOR-box bytes as metadata instead of the
+    // sentinel the quarantine contract promises
+    def atLeast(p: (Int, Int), n: Int, what: String): Unit =
+      if (p._2 - p._1 < n)
+        throw new IllegalArgumentException(s"ISO-BMFF: $what box truncated")
     val moov = payload(findBox(bytes, 0, bytes.length, "moov"), "moov")
     val mvhd = payload(findBox(bytes, moov._1, moov._2, "mvhd"), "mvhd")
+    atLeast(mvhd, 20, "mvhd")
     v0(mvhd._1, "mvhd")
     val timescale = i32(mvhd._1 + 12)
     val duration = i32(mvhd._1 + 16).toLong & 0xffffffffL
@@ -191,6 +199,7 @@ object Multimodal {
     } yield new String(bytes, hdlr._1 + 8, 4, "US-ASCII")
     val trak = traks.find(t => handlerOf(t).contains("vide")).getOrElse(traks.head)
     val tkhd = payload(findBox(bytes, trak._1, trak._2, "tkhd"), "tkhd")
+    atLeast(tkhd, 84, "tkhd")
     v0(tkhd._1, "tkhd")
     val width = i32(tkhd._1 + 76) >>> 16
     val height = i32(tkhd._1 + 80) >>> 16
@@ -198,11 +207,16 @@ object Multimodal {
     val minf = payload(findBox(bytes, mdia._1, mdia._2, "minf"), "minf")
     val stbl = payload(findBox(bytes, minf._1, minf._2, "stbl"), "stbl")
     val stsz = payload(findBox(bytes, stbl._1, stbl._2, "stsz"), "stsz")
+    atLeast(stsz, 12, "stsz")
     v0(stsz._1, "stsz")
+    // both fields are UNSIGNED 32-bit per ISO 14496-12: a sample size or
+    // count past 2^31 is implausible for real media but would read as
+    // NEGATIVE here — sampleSize < 0 would silently take the (unvalidated)
+    // table branch, a huge count would size attacker-controlled buffers
     val sampleSize = i32(stsz._1 + 4)
     val nFrames = i32(stsz._1 + 8)
-    if (nFrames < 0)
-      throw new IllegalArgumentException("ISO-BMFF: negative sample count")
+    if (sampleSize < 0 || nFrames < 0)
+      throw new IllegalArgumentException("ISO-BMFF: implausible stsz fields")
     // sample_size == 0 means a per-sample 32-bit size table follows — the
     // encoding every real compressed track uses; validate it fits the box
     if (sampleSize == 0 && stsz._1 + 12 + 4L * nFrames > stsz._2)
@@ -437,6 +451,14 @@ object Multimodal {
             def i32(off: Int): Int =
               ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
                 ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+            // a uniform-size header claiming more sample bytes than mdat
+            // holds is corrupt — reject BEFORE sizing any buffer by the
+            // attacker-controlled count (a hostile sample_count would
+            // otherwise OOM the task right past the quarantine); the table
+            // path's count is already bounded by its box size in mp4Meta
+            if (m.sampleSize > 0 &&
+                m.nFrames.toLong * m.sampleSize > (mdEnd - mdStart).toLong)
+              throw new IllegalArgumentException("ISO-BMFF: stsz exceeds mdat")
             // start offset of each sample inside mdat: uniform stride, or
             // prefix sums over the stsz entry table (bounds-validated by
             // mp4Meta)

@@ -917,5 +917,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(fr.flatMap(_.frame).toSeq == (1 to 10).map(_.toByte).toSeq)
     // corrupt videos emit no frames instead of aborting the job
     assert(Multimodal.frameSample(ds, everyN = 1).collect().count(_.doc_id == 3L) == 0)
+    // D: hostile uniform sample_count (2e9 × 1-byte samples vs a 4-byte
+    // mdat) must be rejected BEFORE sizing any buffer by it — zero frames,
+    // no multi-GB allocation; E: truncated tkhd (8-byte payload) must
+    // sentinel, not read neighbor-box bytes as width/height; F: unsigned
+    // stsz sample_size ≥ 2^31 reads negative and must sentinel, not take
+    // the unvalidated table branch
+    val stszHuge = box("stsz", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(1).putInt(2000000000).array())
+    val fileD = cat(ftyp, box("moov", cat(mvhd, trak("vide", 8, 8, stszHuge))),
+      box("mdat", new Array[Byte](4)))
+    val trakShortTkhd = box("trak", cat(box("tkhd", new Array[Byte](8)),
+      box("mdia", cat(mdhd, hdlr("vide"),
+        box("minf", box("stbl", stszVide))))))
+    val fileE = cat(ftyp, box("moov", cat(mvhd, trakShortTkhd)),
+      box("mdat", new Array[Byte](32)))
+    val stszNeg = box("stsz", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(0xffffffff).putInt(2).array())
+    val fileF = cat(ftyp, box("moov", cat(mvhd, trak("vide", 8, 8, stszNeg))),
+      box("mdat", new Array[Byte](32)))
+    val ds2 = spark.createDataset(Seq(
+      Multimodal.MediaRow(4L, "video", fileD),
+      Multimodal.MediaRow(5L, "video", fileE),
+      Multimodal.MediaRow(6L, "video", fileF)))
+    assert(Multimodal.frameSample(ds2, everyN = 1).collect().isEmpty)
+    val meta2 = Multimodal.decodeVideoMeta(ds2).collect().map(m => m.doc_id -> m).toMap
+    assert(meta2(5L).width == -1, "truncated tkhd must sentinel")
+    assert(meta2(6L).width == -1, "negative-read sample_size must sentinel")
   }
 }
