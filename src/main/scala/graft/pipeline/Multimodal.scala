@@ -476,14 +476,17 @@ object Multimodal {
               Frame(r.doc_id, i, b.slice(from, until))
             }
           } catch { case scala.util.control.NonFatal(_) => Seq.empty[Frame] }
-        } else {
+        } else try {
+          // the legacy branch needs the same quarantine: decodeStub throws
+          // on unknown containers and frames == 0 would divide by zero —
+          // either must emit no frames, never abort the corpus job
           val (_, _, frames) = decodeStub(b)
           val payload = b.drop(16)
           (0 until frames by everyN).map { f =>
             val chunk = math.max(payload.length / frames, 1)
             Frame(r.doc_id, f, payload.slice(f * chunk, math.min((f + 1) * chunk, payload.length)))
           }
-        }
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty[Frame] }
       }
     }
   }

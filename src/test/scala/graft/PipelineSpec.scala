@@ -862,6 +862,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(sents.forall(s => s.width == -1 && s.n_frames == 0))
   }
 
+  test("video: seeded fuzz — mutated MP4 bytes never escape the quarantine") {
+    import spark.implicits._
+    // take real synthetic MP4s and flip seeded random bytes/fields: every
+    // mutation must either decode or sentinel/skip — no exception may
+    // escape decodeVideoMeta/frameSample, and no output may explode past
+    // the payload's own size (the OOM-guard contract)
+    val base = Multimodal.syntheticVideos(spark, 4).collect()
+    val rnd = new scala.util.Random(20260818L)
+    val mutated = (0 until 200).map { i =>
+      val b = base(i % base.length).media
+      val payload = rnd.nextInt(4) match {
+        case 0 => // flip 1-4 random bytes anywhere
+          val c = b.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte }
+          c
+        case 1 => // corrupt a 32-bit field near the front (box-walk hazard)
+          val c = b.clone()
+          val off = rnd.nextInt(math.min(c.length - 4, 200))
+          val v = rnd.nextInt()
+          c(off) = (v >> 24).toByte; c(off + 1) = (v >> 16).toByte
+          c(off + 2) = (v >> 8).toByte; c(off + 3) = v.toByte
+          c
+        case 2 => b.take(8 + rnd.nextInt(b.length - 8)) // truncate
+        case _ => b
+      }
+      Multimodal.MediaRow(1000L + i, "video", payload)
+    }
+    val ds = spark.createDataset(mutated)
+    val meta = Multimodal.decodeVideoMeta(ds).collect() // must not throw
+    assert(meta.length == mutated.length)
+    val frames = Multimodal.frameSample(ds, everyN = 1).collect() // must not throw
+    val sizes = mutated.map(r => r.doc_id -> r.media.length).toMap
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.map(_.frame.length.toLong).sum <= sizes(id),
+        s"frames of $id exceed the payload itself")
+    }
+  }
+
   test("video: per-sample stsz tables, audio-first trak order, hostile box sizes") {
     import spark.implicits._
     def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
