@@ -955,7 +955,7 @@ object PipelineQueries {
           WHERE rn <= 50 ORDER BY source, doc_id""",
     "p_mixture" ->
       s"""WITH pk AS (SELECT source, count(*) AS docs,
-                             sum(($wsTokSql)::BIGINT) AS tokens
+                             sum(($wsTokSql)::BIGINT)::BIGINT AS tokens
                       FROM documents GROUP BY source),
           t AS (SELECT sum(docs) AS td, sum(tokens) AS tt FROM pk)
           SELECT source, docs, tokens,
@@ -1059,10 +1059,10 @@ object PipelineQueries {
           s AS (SELECT user_id, event_id, tus,
                        CASE WHEN prev IS NULL OR tus - prev > 1800000000
                             THEN 1 ELSE 0 END AS opener,
-                       sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
-                                THEN 1 ELSE 0 END)
-                         OVER (PARTITION BY user_id ORDER BY tus, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_idx
+                       (sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
                 FROM o)
           SELECT user_id, session_idx, count(*) AS events,
                  (max(tus) - min(tus))::BIGINT AS duration_us,

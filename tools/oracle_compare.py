@@ -10,6 +10,20 @@ hashes exact values, so the local pre-flight gate must be at least as
 strict. `--tolerant` restores the old round-to-6-digits compare for
 DIAGNOSIS ONLY (to tell "one ulp off" from "wrong answer"); a tolerant
 MATCH is never shippable evidence.
+
+Column TYPES compare too (VERDICT r4 #2): the driver's hash is
+type-aware, so a DuckDB HUGEINT (int128 — e.g. an uncast sum()) against
+a Spark BIGINT is a driver MISMATCH even when every value is numerically
+identical (the exact r4 p_mixture / p_sessions failure). The gate
+compares the DuckDB-reported type of every column of the Spark parquet
+against the oracle relation's type, name-sorted like the row canon.
+
+Calibrated against CORRECTNESS_r04.json: the driver hash tolerates
+in-family integer WIDTH up to 64 bits (p_pii_scan et al. ship Spark INT
+vs oracle BIGINT and are driver-green) but NOT the 128-bit HUGEINT that
+an uncast DuckDB sum() produces (p_mixture/p_sessions were driver-red on
+exactly that). So TINYINT..BIGINT normalize to one INT64 class; HUGEINT
+and everything else stay distinct.
 """
 import duckdb, json, sys, decimal, struct
 
@@ -46,20 +60,31 @@ fails = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        sq = con.execute(f"SELECT * FROM '{vout}/{name}/*.parquet'")
-        scols = [d[0] for d in sq.description]
-        srows = sq.fetchall()
-        oq = con.execute(sql)
-        ocols = [d[0] for d in oq.description]
-        orows = oq.fetchall()
+        srel = con.sql(f"SELECT * FROM '{vout}/{name}/*.parquet'")
+        scols = list(srel.columns)
+        stypes = [str(t) for t in srel.types]
+        srows = srel.fetchall()
+        orel = con.sql(sql)
+        ocols = list(orel.columns)
+        otypes = [str(t) for t in orel.types]
+        orows = orel.fetchall()
     except Exception as e:
         print(f"{name}: ERROR {e}")
         fails += 1
         continue
     sc, sr = canon(scols, srows)
     oc, orr = canon(ocols, orows)
+    # name-sorted type vectors, same order as the row canon
+    def tnorm(t):
+        return 'INT64' if t in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT') else t
+    st = [tnorm(stypes[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])]
+    ot = [tnorm(otypes[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])]
     if sc != oc:
         print(f"{name}: SCHEMA MISMATCH spark={sc} oracle={oc}")
+        fails += 1
+    elif st != ot:
+        tdiff = [(c, a, b) for c, a, b in zip(sc, st, ot) if a != b]
+        print(f"{name}: TYPE MISMATCH {tdiff}")
         fails += 1
     elif sr != orr:
         diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
