@@ -15,6 +15,11 @@ run / fork := true
 // log prefixes): the bench/verify driver parses a bare JSON line from the
 // output, and sbt's default LoggedOutput prefix made it unparseable
 run / outputStrategy := Some(StdoutOutput)
+// ... and the driver parses the LAST stdout line as JSON, so sbt's
+// "[success] Total time: …" trailer after the bench JSON broke the parse
+// two rounds running (BENCH_r03/r04 "parsed": null). Suppress it globally;
+// failures still print "[error]" lines and a nonzero exit.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

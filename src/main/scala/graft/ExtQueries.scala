@@ -215,10 +215,11 @@ object ExtQueries {
 
   /** The REAL video-container arm: genuine minimal ISO-BMFF files written
     * box by box (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsz/
-    * mdat — Multimodal.syntheticVideos) round-trip through the from-scratch
-    * box-tree parser on the Spark side; the oracle predicts every DECODED
-    * field from the generator contract, INCLUDING total container size
-    * (every non-mdat box is fixed-layout: 357 header bytes + frames × 16).
+    * stsc/stco/mdat — Multimodal.syntheticVideos) round-trip through the
+    * from-scratch box-tree parser on the Spark side; the oracle predicts
+    * every DECODED field from the generator contract, INCLUDING total
+    * container size (every non-mdat box is fixed-layout: 405 header bytes
+    * + frames × 16 since the r5 stsc/stco additions).
     * A parser that skipped the walk and guessed any field breaks the hash. */
   private val videoMetaOracle =
     s"""SELECT id AS doc_id,
@@ -227,8 +228,22 @@ object ExtQueries {
               (1 + id % 120)::INT AS n_frames,
               (600)::INT AS timescale,
               ((1 + id % 120) * 25)::BIGINT AS duration_ticks,
-              (357 + (1 + id % 120) * 16)::BIGINT AS n_bytes
+              (405 + (1 + id % 120) * 16)::BIGINT AS n_bytes
        FROM range($VideoRows) t(id) ORDER BY doc_id"""
+
+  /** Frame sampling through the driver gate (VERDICT r4 #6): every-4th
+    * frame of every synthetic video, sliced by the REAL stsc/stco/stsz
+    * demuxer addressing. The generator contract makes the oracle exact:
+    * frames = 1 + id mod 120 uniform 16-byte samples, so the sampled
+    * index set is generate_series(0, id mod 120, 4) and every frame is
+    * 16 bytes — a slicer that mis-addresses any boundary (or emits frames
+    * for corrupt payloads) changes the row set or a length and breaks the
+    * hash. */
+  private val frameSampleOracle =
+    s"""SELECT id AS doc_id,
+              unnest(generate_series(0, (id % 120)::INT, 4))::BIGINT AS frame_idx,
+              (16)::BIGINT AS n_bytes
+       FROM range($VideoRows) t(id) ORDER BY doc_id, frame_idx"""
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_verdicts" -> (streamVerdicts _),
@@ -246,7 +261,12 @@ object ExtQueries {
         .orderBy("doc_id")),
     "p_video_meta" -> ((s, _) =>
       Multimodal.decodeVideoMeta(Multimodal.syntheticVideos(s, VideoRows)).toDF()
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+    "p_frame_sample" -> ((s, _) =>
+      Multimodal.frameSample(Multimodal.syntheticVideos(s, VideoRows), everyN = 4).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "frame_idx")))
 
   val oracles: Map[String, String] = Map(
     "s_stream_verdicts" -> streamOracle,
@@ -255,5 +275,6 @@ object ExtQueries {
     "p_multimodal_meta" -> multimodalOracle,
     "p_image_meta" -> imageMetaOracle,
     "p_audio_meta" -> audioMetaOracle,
-    "p_video_meta" -> videoMetaOracle)
+    "p_video_meta" -> videoMetaOracle,
+    "p_frame_sample" -> frameSampleOracle)
 }

@@ -91,23 +91,25 @@ object PipelineQueries {
       md5(id.cast("string")).as("part"))
     val v = CrossRow.uniqueness(df, "doc_id", "part", checkpointDups = true)
     if (hot) {
-      // the assert must execute the BARE violations frame: a rollup above
-      // the join gets its clustering for free from the join's output
-      // partitioning, so OptimizeSkewedJoin declines to split there (the
-      // split would force an extra shuffle — AQE's default guard). The
-      // collected rows are then rolled up driver-side into a local
-      // relation, so the deliberately-skewed join executes exactly ONCE
-      // per invocation instead of once for the assert and again for the
-      // battery.
-      // collect FULL-WIDTH rows: pruning to (doc_id, observed) strips the
+      // the skew observation must execute the BARE violations frame: a
+      // rollup above the join gets its clustering for free from the join's
+      // output partitioning, so OptimizeSkewedJoin declines to split there
+      // (the split would force an extra shuffle — AQE's default guard).
+      // localCheckpoint (VERDICT r4 #5) materializes the full-width frame
+      // ONCE on the executors — no corpus-proportional driver collect (the
+      // dup set is 30% of the table by construction, a guaranteed driver
+      // OOM at 10¹²-row scale) — keeps the executed AQE plan inspectable,
+      // and the rollup then runs DISTRIBUTED over the checkpointed rows.
+      // Full width matters: pruning to (doc_id, observed) strips the
       // high-entropy md5 part column from the join's shuffle, and AQE skew
       // detection reads COMPRESSED map sizes — the all-"hot" residue then
       // compresses below the threshold and the split intermittently never
-      // fires (observed in the full-battery run; the known entropy hazard)
-      val viol = v.violations
-      val rows = viol.collect()
+      // fires (observed in the full-battery run; the known entropy hazard).
+      val bare = v.violations // one instance: executed by the checkpoint,
+                              // then probed for the final adaptive plan
+      val viol = bare.localCheckpoint()
       val skewed = graft.tools.SuitePlanProbe
-        .walk(viol.queryExecution.executedPlan)
+        .walk(bare.queryExecution.executedPlan)
         .exists {
           case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
             smj.isSkewJoin
@@ -115,14 +117,20 @@ object PipelineQueries {
             shj.isSkewJoin
           case _ => false
         }
-      require(skewed, "AQE did not skew-split the hot-key join-back partition")
-      import sess.implicits._
-      val di = viol.schema.fieldIndex("doc_id")
-      val oi = viol.schema.fieldIndex("observed")
-      rows.toSeq.groupBy(r => (r.getString(di), r.getString(oi)))
-        .map { case ((d, o), g) => (d, o, g.size.toLong) }
-        .toSeq.sortBy(t => (t._1, t._2))
-        .toDF("doc_id", "observed", "n")
+      // ADVICE r4 #2: the split firing is environment-sensitive (compressed
+      // map-size dependent) — a hard require here can abort the whole verify
+      // battery on a different box/codec/Spark patch. The HARD gate lives in
+      // PlanSpec ("hot-key partition was not skew-split"); here the
+      // observation is a warning, and correctness of the rollup is what the
+      // oracle pins.
+      if (!skewed)
+        System.err.println(
+          "[graft] WARN x_skew_uniqueness: AQE did not skew-split the " +
+            "hot-key join-back partition in this environment (PlanSpec " +
+            "gates this hard)")
+      viol.groupBy(col("doc_id"), col("observed"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "observed")
     } else
       v.violations.groupBy(col("doc_id"), col("observed"))
         .agg(count(lit(1)).as("n")).orderBy("doc_id")
@@ -224,8 +232,16 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.contentKey(col("text")).as("k"))
       val histKeys = hist
         .select(TextAnalysis.contentKey(col("text")).as("k")).distinct()
+      // ADVICE r4 #1: size the sketch FROM the history side instead of a
+      // constant — a hardcoded 10k under-sizes the filter as sf grows and
+      // the degraded fpp would eventually flip the oracle-pinned fp_ok.
+      // approx_count_distinct is one partial-agged HLL++ scan (deterministic
+      // for identical input, so the oracle contract is stable per sf dir).
+      val expected = math.max(1024L,
+        hist.agg(approx_count_distinct(TextAnalysis.contentKey(col("text"))))
+          .head.getLong(0))
       Dedup.bloomMightContain(hist, TextAnalysis.contentKey(col("text")),
-          batch, col("k"), expectedItems = 10000L, fpp = 0.01)
+          batch, col("k"), expectedItems = expected, fpp = 0.01)
         .join(histKeys.withColumn("truth", lit(true)), Seq("k"), "left")
         .select(col("might_dup"), coalesce(col("truth"), lit(false)).as("truth"))
         .agg(

@@ -110,10 +110,16 @@ object Multimodal {
   /** Parsed ISO-BMFF header fields. `sampleSize` is the uniform sample
     * size, 0 when sizes vary per sample — then the stsz entry table at
     * `stszTable` (validated in-bounds) carries one 32-bit size per
-    * sample. */
+    * sample. `stscOff`/`stcoOff` are the validated payload offsets of the
+    * sample-to-chunk and chunk-offset entry tables (`stscN`/`stcoN`
+    * entries; `co64` = 8-byte offsets), or -1 when the writer omitted the
+    * chunk tables (headerless single-chunk layouts — then samples are
+    * addressed contiguously from the first mdat payload byte). */
   private final case class Mp4Header(width: Int, height: Int, nFrames: Int,
                                      timescale: Int, durationTicks: Long,
-                                     sampleSize: Int, stszTable: Int)
+                                     sampleSize: Int, stszTable: Int,
+                                     stscOff: Int, stscN: Int,
+                                     stcoOff: Int, stcoN: Int, co64: Boolean)
 
   /** Scan the sibling boxes in `bytes[start, end)` for the first `fourcc`;
     * returns the PAYLOAD bounds. Rejects malformed sizes (size < 8 or
@@ -221,8 +227,37 @@ object Multimodal {
     // encoding every real compressed track uses; validate it fits the box
     if (sampleSize == 0 && stsz._1 + 12 + 4L * nFrames > stsz._2)
       throw new IllegalArgumentException("ISO-BMFF: stsz table truncated")
+    // chunk addressing (ADVICE r4 #3): stsc maps samples to chunks, stco /
+    // co64 carries each chunk's FILE-ABSOLUTE offset. Both are mandatory in
+    // real stbl boxes; we accept their joint absence (headerless
+    // single-chunk layouts fall back to contiguous-from-mdat) but reject a
+    // half-present pair — one table without the other is unaddressable.
+    val stscBox = findBox(bytes, stbl._1, stbl._2, "stsc")
+    val stcoBox = findBox(bytes, stbl._1, stbl._2, "stco")
+    val co64Box = findBox(bytes, stbl._1, stbl._2, "co64")
+    val offBox = stcoBox.orElse(co64Box)
+    if (stscBox.isDefined != offBox.isDefined)
+      throw new IllegalArgumentException("ISO-BMFF: stsc/stco half-present")
+    val (stscOff, stscN) = stscBox.map { p =>
+      atLeast(p, 8, "stsc"); v0(p._1, "stsc")
+      val n = i32(p._1 + 4)
+      if (n < 0 || p._1 + 8 + 12L * n > p._2)
+        throw new IllegalArgumentException("ISO-BMFF: stsc table truncated")
+      (p._1 + 8, n)
+    }.getOrElse((-1, 0))
+    val isCo64 = stcoBox.isEmpty && co64Box.isDefined
+    val (stcoOff, stcoN) = offBox.map { p =>
+      atLeast(p, 8, "stco"); v0(p._1, "stco")
+      val n = i32(p._1 + 4)
+      val w = if (isCo64) 8L else 4L
+      if (n < 0 || p._1 + 8 + w * n > p._2)
+        throw new IllegalArgumentException("ISO-BMFF: chunk-offset table truncated")
+      (p._1 + 8, n)
+    }.getOrElse((-1, 0))
+    if (offBox.isDefined && (stscN == 0 || stcoN == 0) && nFrames > 0)
+      throw new IllegalArgumentException("ISO-BMFF: empty chunk tables with samples")
     Mp4Header(width, height, nFrames, timescale, duration,
-      sampleSize, stsz._1 + 12)
+      sampleSize, stsz._1 + 12, stscOff, stscN, stcoOff, stcoN, isCo64)
   }
 
   /** Batched metadata extraction: one partition = one iterator pass, no
@@ -324,14 +359,19 @@ object Multimodal {
 
   /** REAL video rows: genuine minimal-but-well-formed ISO-BMFF files —
     * ftyp('isom') + moov(mvhd + trak(tkhd + mdia(mdhd + hdlr +
-    * minf(stbl(stsz uniform-size))))) + mdat, every field per ISO
-    * 14496-12, written box by box from scratch. Metadata follows a
-    * SQL-expressible contract (w = 160 + (id mod 32)·4, h = 96 +
-    * (⌊id/7⌋ mod 32)·4, frames = 1 + id mod 120, timescale 600, duration =
-    * frames·25 ticks i.e. 24 fps, 16-byte uniform samples) so a DuckDB
-    * oracle predicts every DECODED field — including total size 357 +
-    * frames·16 bytes, since each box is fixed-layout — and the Spark side
-    * must genuinely walk the box tree to agree. */
+    * minf(stbl(stsz uniform-size + stsc + stco))))) + mdat, every field
+    * per ISO 14496-12, written box by box from scratch (stsc/stco added in
+    * r5 — ADVICE r4 #3 — making the stbl spec-complete: one chunk at
+    * file-absolute offset 405, so the frame slicer exercises the real
+    * demuxer addressing path). Metadata follows a SQL-expressible contract
+    * (w = 160 + (id mod 32)·4, h = 96 + (⌊id/7⌋ mod 32)·4, frames = 1 +
+    * id mod 120, timescale 600, duration = frames·25 ticks i.e. 24 fps,
+    * 16-byte uniform samples) so a DuckDB oracle predicts every DECODED
+    * field — including total size 405 + frames·16 bytes, since each box is
+    * fixed-layout (ftyp 24 + moov 373 [mvhd 108, trak 257 = tkhd 92 +
+    * mdia 157 = mdhd 32 + hdlr 33 + minf 84 = stbl 76 = stsz 20 + stsc 28
+    * + stco 20] + mdat header 8 = 405) — and the Spark side must genuinely
+    * walk the box tree to agree. */
   def syntheticVideos(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -371,10 +411,18 @@ object Multimodal {
         .put(new Array[Byte](13)).array())
       val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
         .putInt(0).putInt(16).putInt(frames).array()) // uniform 16-byte samples
+      // one run: chunk 1 carries all `frames` samples (sdi 1)
+      val stsc = box("stsc", java.nio.ByteBuffer.allocate(20)
+        .putInt(0).putInt(1).putInt(1).putInt(frames).putInt(1).array())
+      // single chunk at the mdat payload's file-absolute offset — 405 by
+      // the fixed layout in the scaladoc (verified byte-exact by
+      // PipelineSpec's every-1 reassembly test)
+      val stco = box("stco", java.nio.ByteBuffer.allocate(12)
+        .putInt(0).putInt(1).putInt(405).array())
       val moov = box("moov", full(mvhd,
         box("trak", full(tkhd,
           box("mdia", full(mdhd, hdlr,
-            box("minf", box("stbl", stsz))))))))
+            box("minf", box("stbl", full(stsz, stsc, stco)))))))))
       val payload = new Array[Byte](frames * 16)
       var x = id * 6364136223846793005L + 1442695040888963407L
       payload.indices.foreach { i =>
@@ -429,14 +477,17 @@ object Multimodal {
   }
 
   /** Video frame sampling: every `everyN`th frame as its own (exploded)
-    * row. For ISO-BMFF payloads the slicing is REAL: sample boundaries come
-    * from the parsed stsz — the uniform sample size, or the per-sample
-    * 32-bit size table when sample_size == 0 (the encoding every real
-    * compressed track uses) — against the located `mdat` payload, exactly
-    * how a demuxer addresses samples. Corrupt/unparseable videos emit NO
-    * frames rather than aborting the job (the quarantine contract:
-    * `decodeVideoMeta` sentinels the same payloads for the verdict
-    * machinery). GRF0 payloads keep the legacy proportional slicing
+    * row. For ISO-BMFF payloads the slicing is REAL demuxer addressing
+    * (ADVICE r4 #3): sample sizes come from the parsed stsz (uniform or
+    * per-sample table) and sample POSITIONS from the stsc sample-to-chunk
+    * runs against the stco/co64 file-absolute chunk offsets — multi-chunk
+    * interleaved layouts slice correctly. Writers that omit the chunk
+    * tables entirely (headerless single-chunk layouts) fall back to
+    * contiguous-from-first-mdat addressing, which is exact for that
+    * layout class only. Corrupt/unparseable videos emit NO frames rather
+    * than aborting the job (the quarantine contract: `decodeVideoMeta`
+    * sentinels the same payloads for the verdict machinery). GRF0
+    * payloads keep the legacy proportional slicing
     * ==== STUB slicing (GRF0 only) ====. */
   def frameSample(ds: Dataset[MediaRow], everyN: Int = 4): Dataset[Frame] = {
     import ds.sparkSession.implicits._
@@ -446,34 +497,75 @@ object Multimodal {
         if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
           try {
             val m = mp4Meta(b)
-            val (mdStart, mdEnd) = findBox(b, 0, b.length, "mdat")
-              .getOrElse(throw new IllegalArgumentException("ISO-BMFF: no mdat box"))
             def i32(off: Int): Int =
               ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
                 ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-            // a uniform-size header claiming more sample bytes than mdat
-            // holds is corrupt — reject BEFORE sizing any buffer by the
-            // attacker-controlled count (a hostile sample_count would
+            def i64(off: Int): Long = (i32(off).toLong << 32) | (i32(off + 4).toLong & 0xffffffffL)
+            // a uniform-size header claiming more sample bytes than the
+            // file holds is corrupt — reject BEFORE sizing any buffer by
+            // the attacker-controlled count (a hostile sample_count would
             // otherwise OOM the task right past the quarantine); the table
             // path's count is already bounded by its box size in mp4Meta
-            if (m.sampleSize > 0 &&
-                m.nFrames.toLong * m.sampleSize > (mdEnd - mdStart).toLong)
-              throw new IllegalArgumentException("ISO-BMFF: stsz exceeds mdat")
-            // start offset of each sample inside mdat: uniform stride, or
-            // prefix sums over the stsz entry table (bounds-validated by
-            // mp4Meta)
-            val starts = new Array[Long](m.nFrames + 1)
+            if (m.sampleSize > 0 && m.nFrames.toLong * m.sampleSize > b.length)
+              throw new IllegalArgumentException("ISO-BMFF: stsz exceeds file")
+            val sizes = new Array[Long](m.nFrames)
+            var totalSz = 0L
             var f = 0
             while (f < m.nFrames) {
-              val sz = if (m.sampleSize > 0) m.sampleSize.toLong
-                       else i32(m.stszTable + 4 * f).toLong & 0xffffffffL
-              starts(f + 1) = starts(f) + sz
+              sizes(f) = if (m.sampleSize > 0) m.sampleSize.toLong
+                         else i32(m.stszTable + 4 * f).toLong & 0xffffffffL
+              totalSz += sizes(f)
               f += 1
             }
+            // caps emitted bytes at the file size even under hostile
+            // overlapping chunk offsets (the fuzz OOM-guard contract)
+            if (totalSz > b.length)
+              throw new IllegalArgumentException("ISO-BMFF: stsz exceeds file")
+            val starts = new Array[Long](m.nFrames)
+            if (m.stcoN > 0) {
+              // demuxer addressing: chunk k (1-based) holds
+              // samples_per_chunk from the LAST stsc run with
+              // first_chunk <= k; samples pack back-to-back inside a chunk
+              // starting at its stco/co64 absolute offset
+              if (m.stscN <= 0 || i32(m.stscOff) != 1)
+                throw new IllegalArgumentException("ISO-BMFF: stsc does not start at chunk 1")
+              var s = 0   // next sample to place
+              var run = 0 // current stsc entry
+              var k = 1   // 1-based chunk number
+              while (s < m.nFrames && k <= m.stcoN) {
+                while (run + 1 < m.stscN && i32(m.stscOff + 12 * (run + 1)) <= k) run += 1
+                val spc = i32(m.stscOff + 12 * run + 4)
+                if (spc <= 0)
+                  throw new IllegalArgumentException("ISO-BMFF: non-positive samples_per_chunk")
+                var off = if (m.co64) i64(m.stcoOff + 8 * (k - 1))
+                          else i32(m.stcoOff + 4 * (k - 1)).toLong & 0xffffffffL
+                var i = 0
+                while (i < spc && s < m.nFrames) {
+                  starts(s) = off
+                  off += sizes(s)
+                  s += 1; i += 1
+                }
+                k += 1
+              }
+              if (s < m.nFrames)
+                throw new IllegalArgumentException("ISO-BMFF: chunks exhausted before sample count")
+            } else {
+              // headerless single-chunk fallback: contiguous from the
+              // first mdat payload byte (exact only for this layout class)
+              val (mdStart, mdEnd) = findBox(b, 0, b.length, "mdat")
+                .getOrElse(throw new IllegalArgumentException("ISO-BMFF: no mdat box"))
+              if (totalSz > (mdEnd - mdStart).toLong)
+                throw new IllegalArgumentException("ISO-BMFF: stsz exceeds mdat")
+              var off = mdStart.toLong
+              var s = 0
+              while (s < m.nFrames) { starts(s) = off; off += sizes(s); s += 1 }
+            }
             (0 until m.nFrames by everyN).map { i =>
-              val from = math.min(mdStart + starts(i), mdEnd.toLong).toInt
-              val until = math.min(mdStart + starts(i + 1), mdEnd.toLong).toInt
-              Frame(r.doc_id, i, b.slice(from, until))
+              val from = starts(i)
+              val until = from + sizes(i)
+              if (from < 0 || until > b.length)
+                throw new IllegalArgumentException("ISO-BMFF: sample outside file")
+              Frame(r.doc_id, i, java.util.Arrays.copyOfRange(b, from.toInt, until.toInt))
             }
           } catch { case scala.util.control.NonFatal(_) => Seq.empty[Frame] }
         } else try {

@@ -832,7 +832,7 @@ class PipelineSpec extends AnyFunSuite {
       assert(m.height == 96 + ((id / 7) % 32) * 4, s"height of $id")
       assert(m.n_frames == 1 + (id % 120), s"frames of $id")
       assert(m.timescale == 600 && m.duration_ticks == m.n_frames * 25L, s"time of $id")
-      assert(m.n_bytes == 357 + m.n_frames * 16L, s"bytes of $id")
+      assert(m.n_bytes == 405 + m.n_frames * 16L, s"bytes of $id")
     }
     // the generic decodeMeta dispatch routes MP4 through the same walk
     import spark.implicits._
@@ -983,5 +983,82 @@ class PipelineSpec extends AnyFunSuite {
     val meta2 = Multimodal.decodeVideoMeta(ds2).collect().map(m => m.doc_id -> m).toMap
     assert(meta2(5L).width == -1, "truncated tkhd must sentinel")
     assert(meta2(6L).width == -1, "negative-read sample_size must sentinel")
+  }
+
+  test("video: multi-chunk stsc/stco demuxer addressing, co64, half-present tables") {
+    import spark.implicits._
+    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(fourcc.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    val ftyp = box("ftyp", "isomxxxxisom".getBytes("US-ASCII"))
+    def mvhd = box("mvhd", java.nio.ByteBuffer.allocate(100)
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(50).array())
+    def mdhd = box("mdhd", new Array[Byte](24))
+    def hdlr = box("hdlr", java.nio.ByteBuffer.allocate(25)
+      .putInt(0).putInt(0).put("vide".getBytes("US-ASCII")).array())
+    def tkhd = box("tkhd", java.nio.ByteBuffer.allocate(84)
+      .putInt(0).putInt(0).putInt(0).putInt(1)
+      .put(new Array[Byte](60)).putInt(64 << 16).putInt(32 << 16).array())
+    // G: 5 variable-size samples [3,5,2,4,6] split over TWO chunks —
+    // stsc runs (1→3 samples, 2→2 samples) — with 4 junk bytes between
+    // the chunks inside mdat: a contiguous-from-mdat slicer would return
+    // the junk as frame bytes; real stco addressing must skip it
+    val stszG = box("stsz", java.nio.ByteBuffer.allocate(32)
+      .putInt(0).putInt(0).putInt(5)
+      .putInt(3).putInt(5).putInt(2).putInt(4).putInt(6).array())
+    val stscG = box("stsc", java.nio.ByteBuffer.allocate(32)
+      .putInt(0).putInt(2)
+      .putInt(1).putInt(3).putInt(1)   // chunks 1..1: 3 samples each
+      .putInt(2).putInt(2).putInt(1).array()) // chunks 2..: 2 samples each
+    def stcoG(off1: Int, off2: Int) = box("stco", java.nio.ByteBuffer.allocate(16)
+      .putInt(0).putInt(2).putInt(off1).putInt(off2).array())
+    def moovG(off1: Int, off2: Int) = box("moov", cat(mvhd,
+      box("trak", cat(tkhd, box("mdia", cat(mdhd, hdlr,
+        box("minf", box("stbl", cat(stszG, stscG, stcoG(off1, off2))))))))))
+    val mdatPayloadOff = ftyp.length + moovG(0, 0).length + 8
+    val off1 = mdatPayloadOff            // chunk 1: samples 0,1,2 (10 bytes)
+    val off2 = mdatPayloadOff + 10 + 4   // chunk 2 after 4 junk bytes
+    val chunk1 = Array.tabulate[Byte](10)(i => (i + 1).toByte)
+    val junk = Array.fill[Byte](4)(0x7f.toByte)
+    val chunk2 = Array.tabulate[Byte](10)(i => (i + 11).toByte)
+    val fileG = cat(ftyp, moovG(off1, off2), box("mdat", cat(chunk1, junk, chunk2)))
+    // H: same single-chunk layout via co64 (8-byte offsets)
+    val stszH = box("stsz", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(4).putInt(3).array()) // 3 uniform 4-byte samples
+    val stscH = box("stsc", java.nio.ByteBuffer.allocate(20)
+      .putInt(0).putInt(1).putInt(1).putInt(3).putInt(1).array())
+    def co64H(off: Long) = box("co64", java.nio.ByteBuffer.allocate(16)
+      .putInt(0).putInt(1).putLong(off).array())
+    def moovH(off: Long) = box("moov", cat(mvhd,
+      box("trak", cat(tkhd, box("mdia", cat(mdhd, hdlr,
+        box("minf", box("stbl", cat(stszH, stscH, co64H(off))))))))))
+    val offH = ftyp.length + moovH(0L).length + 8
+    val fileH = cat(ftyp, moovH(offH.toLong),
+      box("mdat", Array.tabulate[Byte](12)(i => (40 + i).toByte)))
+    // I: HALF-PRESENT chunk tables (stsc without stco) — unaddressable;
+    // must quarantine (sentinel meta, zero frames), not guess
+    val fileI = cat(ftyp, box("moov", cat(mvhd,
+      box("trak", cat(tkhd, box("mdia", cat(mdhd, hdlr,
+        box("minf", box("stbl", cat(stszH, stscH))))))))),
+      box("mdat", new Array[Byte](12)))
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", fileG),
+      Multimodal.MediaRow(2L, "video", fileH),
+      Multimodal.MediaRow(3L, "video", fileI)))
+    val fr = Multimodal.frameSample(ds, everyN = 1).collect()
+    val g = fr.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(g.map(_.frame.length).toSeq == Seq(3, 5, 2, 4, 6), s"got ${g.map(_.frame.length).toSeq}")
+    assert(g.flatMap(_.frame).toSeq == ((1 to 20).map(_.toByte)).toSeq,
+      "multi-chunk slicing must skip the inter-chunk junk bytes")
+    val hFr = fr.filter(_.doc_id == 2L).sortBy(_.frame_idx)
+    assert(hFr.map(_.frame.toSeq).toSeq ==
+      Seq((40 to 43), (44 to 47), (48 to 51)).map(_.map(_.toByte)))
+    assert(fr.count(_.doc_id == 3L) == 0, "half-present chunk tables must emit no frames")
+    val meta = Multimodal.decodeVideoMeta(ds).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_frames == 5 && meta(2L).n_frames == 3)
+    assert(meta(3L).width == -1, "half-present chunk tables must sentinel")
   }
 }
