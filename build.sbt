@@ -20,6 +20,9 @@ run / outputStrategy := Some(StdoutOutput)
 // two rounds running (BENCH_r03/r04 "parsed": null). Suppress it globally;
 // failures still print "[error]" lines and a nonzero exit.
 Global / showSuccess := false
+// sbt's unused-key linter false-positives on showSuccess (it IS honored —
+// no [success] line in any output); keep the startup log noise-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
