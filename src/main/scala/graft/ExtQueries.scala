@@ -218,8 +218,9 @@ object ExtQueries {
     * stsc/stco/mdat — Multimodal.syntheticVideos) round-trip through the
     * from-scratch box-tree parser on the Spark side; the oracle predicts
     * every DECODED field from the generator contract, INCLUDING total
-    * container size (every non-mdat box is fixed-layout: 405 header bytes
-    * + frames × 16 since the r5 stsc/stco additions).
+    * container size (every non-mdat box is fixed-layout: 421 header bytes
+    * + frames × 16 + 4 inter-chunk junk bytes = 425 + frames × 16, since
+    * the r5 two-chunk stsc/stco layout).
     * A parser that skipped the walk and guessed any field breaks the hash. */
   private val videoMetaOracle =
     s"""SELECT id AS doc_id,
@@ -228,22 +229,29 @@ object ExtQueries {
               (1 + id % 120)::INT AS n_frames,
               (600)::INT AS timescale,
               ((1 + id % 120) * 25)::BIGINT AS duration_ticks,
-              (405 + (1 + id % 120) * 16)::BIGINT AS n_bytes
+              (425 + (1 + id % 120) * 16)::BIGINT AS n_bytes
        FROM range($VideoRows) t(id) ORDER BY doc_id"""
 
   /** Frame sampling through the driver gate (VERDICT r4 #6): every-4th
     * frame of every synthetic video, sliced by the REAL stsc/stco/stsz
-    * demuxer addressing. The generator contract makes the oracle exact:
-    * frames = 1 + id mod 120 uniform 16-byte samples, so the sampled
-    * index set is generate_series(0, id mod 120, 4) and every frame is
-    * 16 bytes — a slicer that mis-addresses any boundary (or emits frames
-    * for corrupt payloads) changes the row set or a length and breaks the
+    * demuxer addressing. The generator contract makes the oracle exact in
+    * CONTENT, not just shape: the corpus is genuinely multi-chunk with
+    * junk bytes between the chunks, sample bytes follow
+    * (id·31 + i·17 + j·7) mod 256, and the oracle recomputes each sampled
+    * frame's full hex — a slicer that ignores stco (contiguous-from-mdat
+    * would read the junk), mis-addresses any boundary, or emits frames
+    * for corrupt payloads changes frame_hex or the row set and breaks the
     * hash. */
   private val frameSampleOracle =
-    s"""SELECT id AS doc_id,
-              unnest(generate_series(0, (id % 120)::INT, 4))::BIGINT AS frame_idx,
-              (16)::BIGINT AS n_bytes
-       FROM range($VideoRows) t(id) ORDER BY doc_id, frame_idx"""
+    s"""WITH fr AS (SELECT id,
+                unnest(generate_series(0, (id % 120)::INT, 4))::BIGINT AS frame_idx
+              FROM range($VideoRows) t(id))
+       SELECT fr.id AS doc_id, fr.frame_idx, (16)::BIGINT AS n_bytes,
+              (SELECT string_agg(
+                        printf('%02X', ((fr.id * 31 + fr.frame_idx * 17 + j * 7) % 256)::INT),
+                        '' ORDER BY j)
+               FROM range(16) r(j)) AS frame_hex
+       FROM fr ORDER BY doc_id, frame_idx"""
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_verdicts" -> (streamVerdicts _),
@@ -265,7 +273,8 @@ object ExtQueries {
     "p_frame_sample" -> ((s, _) =>
       Multimodal.frameSample(Multimodal.syntheticVideos(s, VideoRows), everyN = 4).toDF()
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          length(col("frame")).cast("long").as("n_bytes"))
+          length(col("frame")).cast("long").as("n_bytes"),
+          hex(col("frame")).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")))
 
   val oracles: Map[String, String] = Map(

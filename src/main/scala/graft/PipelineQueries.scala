@@ -232,14 +232,14 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.contentKey(col("text")).as("k"))
       val histKeys = hist
         .select(TextAnalysis.contentKey(col("text")).as("k")).distinct()
+        .localCheckpoint()
       // ADVICE r4 #1: size the sketch FROM the history side instead of a
       // constant — a hardcoded 10k under-sizes the filter as sf grows and
       // the degraded fpp would eventually flip the oracle-pinned fp_ok.
-      // approx_count_distinct is one partial-agged HLL++ scan (deterministic
-      // for identical input, so the oracle contract is stable per sf dir).
-      val expected = math.max(1024L,
-        hist.agg(approx_count_distinct(TextAnalysis.contentKey(col("text"))))
-          .head.getLong(0))
+      // The truth join already needs the exact distinct-key frame, so it
+      // is localCheckpoint'ed ONCE above and reused for both the exact
+      // item count and the join — no extra history scan (r5 review).
+      val expected = math.max(1024L, histKeys.count())
       Dedup.bloomMightContain(hist, TextAnalysis.contentKey(col("text")),
           batch, col("k"), expectedItems = expected, fpp = 0.01)
         .join(histKeys.withColumn("truth", lit(true)), Seq("k"), "left")

@@ -360,18 +360,23 @@ object Multimodal {
   /** REAL video rows: genuine minimal-but-well-formed ISO-BMFF files —
     * ftyp('isom') + moov(mvhd + trak(tkhd + mdia(mdhd + hdlr +
     * minf(stbl(stsz uniform-size + stsc + stco))))) + mdat, every field
-    * per ISO 14496-12, written box by box from scratch (stsc/stco added in
-    * r5 — ADVICE r4 #3 — making the stbl spec-complete: one chunk at
-    * file-absolute offset 405, so the frame slicer exercises the real
-    * demuxer addressing path). Metadata follows a SQL-expressible contract
-    * (w = 160 + (id mod 32)·4, h = 96 + (⌊id/7⌋ mod 32)·4, frames = 1 +
-    * id mod 120, timescale 600, duration = frames·25 ticks i.e. 24 fps,
-    * 16-byte uniform samples) so a DuckDB oracle predicts every DECODED
-    * field — including total size 405 + frames·16 bytes, since each box is
-    * fixed-layout (ftyp 24 + moov 373 [mvhd 108, trak 257 = tkhd 92 +
-    * mdia 157 = mdhd 32 + hdlr 33 + minf 84 = stbl 76 = stsz 20 + stsc 28
-    * + stco 20] + mdat header 8 = 405) — and the Spark side must genuinely
-    * walk the box tree to agree. */
+    * per ISO 14496-12, written box by box from scratch. The samples live
+    * in TWO chunks (stsc runs: chunk 1 carries ⌈frames/2⌉ samples, chunk
+    * 2 the rest) with 4 junk bytes BETWEEN the chunks inside mdat
+    * (ADVICE r4 #3 / r5 review): a slicer that ignores stco and assumes
+    * contiguous samples reads the junk into a frame, so the driver-gated
+    * frame-content oracle (p_frame_sample's frame_hex) fails on any
+    * mis-addressing — the real demuxer path is what the gate certifies.
+    * Everything follows a SQL-expressible contract: w = 160 +
+    * (id mod 32)·4, h = 96 + (⌊id/7⌋ mod 32)·4, frames = 1 + id mod 120,
+    * timescale 600, duration = frames·25 ticks (24 fps), 16-byte uniform
+    * samples whose CONTENT is byte(i, j) = (id·31 + i·17 + j·7) mod 256
+    * for sample i byte j — so a DuckDB oracle predicts every decoded
+    * field AND every frame's exact bytes. Total size = 425 + frames·16
+    * since each box is fixed-layout (ftyp 24 + moov 389 [mvhd 108,
+    * trak 273 = tkhd 92 + mdia 173 = mdhd 32 + hdlr 33 + minf 100 =
+    * stbl 92 = stsz 20 + stsc 40 + stco 24] + mdat header 8 = 421 header
+    * bytes, then frames·16 + 4 junk payload). */
   def syntheticVideos(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -411,24 +416,33 @@ object Multimodal {
         .put(new Array[Byte](13)).array())
       val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
         .putInt(0).putInt(16).putInt(frames).array()) // uniform 16-byte samples
-      // one run: chunk 1 carries all `frames` samples (sdi 1)
-      val stsc = box("stsc", java.nio.ByteBuffer.allocate(20)
-        .putInt(0).putInt(1).putInt(1).putInt(frames).putInt(1).array())
-      // single chunk at the mdat payload's file-absolute offset — 405 by
-      // the fixed layout in the scaladoc (verified byte-exact by
-      // PipelineSpec's every-1 reassembly test)
-      val stco = box("stco", java.nio.ByteBuffer.allocate(12)
-        .putInt(0).putInt(1).putInt(405).array())
+      // two stsc runs: chunk 1 carries ⌈frames/2⌉ samples, chunks 2+ the
+      // rest (spc clamped to ≥1 per spec even when chunk 2 ends up empty
+      // at frames == 1 — the demuxer stops at the sample count first)
+      val s1 = (frames + 1) / 2
+      val stsc = box("stsc", java.nio.ByteBuffer.allocate(32)
+        .putInt(0).putInt(2)
+        .putInt(1).putInt(s1).putInt(1)
+        .putInt(2).putInt(math.max(frames - s1, 1)).putInt(1).array())
+      // chunk offsets are FILE-ABSOLUTE: the mdat payload starts at 421 by
+      // the fixed layout in the scaladoc; chunk 2 sits past chunk 1's
+      // bytes AND the 4 junk bytes (verified byte-exact by PipelineSpec's
+      // every-1 reassembly test and the p_frame_sample frame_hex oracle)
+      val stco = box("stco", java.nio.ByteBuffer.allocate(16)
+        .putInt(0).putInt(2).putInt(421).putInt(421 + s1 * 16 + 4).array())
       val moov = box("moov", full(mvhd,
         box("trak", full(tkhd,
           box("mdia", full(mdhd, hdlr,
             box("minf", box("stbl", full(stsz, stsc, stco)))))))))
-      val payload = new Array[Byte](frames * 16)
-      var x = id * 6364136223846793005L + 1442695040888963407L
-      payload.indices.foreach { i =>
-        x = x * 6364136223846793005L + 1442695040888963407L
-        payload(i) = (x >>> 56).toByte
-      }
+      // SQL-expressible sample content: byte j of sample i is
+      // (id·31 + i·17 + j·7) mod 256 — the DuckDB oracle recomputes every
+      // frame's hex, so mis-addressed slicing cannot pass the driver gate
+      def sample(i: Int): Array[Byte] =
+        Array.tabulate(16)(j => ((id * 31 + i * 17 + j * 7) % 256).toByte)
+      val junk = Array.fill[Byte](4)(0x5a.toByte)
+      val payload =
+        (0 until s1).toArray.flatMap(sample) ++ junk ++
+          (s1 until frames).toArray.flatMap(sample)
       MediaRow(id, "video", full(ftyp, moov, box("mdat", payload)))
     }
   }

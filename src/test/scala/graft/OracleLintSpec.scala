@@ -133,6 +133,12 @@ class OracleLintSpec extends AnyFunSuite {
     val hazards = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       val outs = finalOutputNames(sql)
       uncastSumAliases(sql).collect {
+        // unparseable SQL (unbalanced parens after a sum) must FAIL the
+        // lint, not silently skip — the lint degrading to a no-op exactly
+        // when the SQL is broken would defeat the tripwire
+        case ("<unbalanced>", site) =>
+          s"$name: sum( with no matching close paren — oracle SQL is " +
+            s"malformed near: $site"
         case (alias, site)
             if outs.contains(alias) && !whitelist.contains(name -> alias) =>
           s"$name: uncast sum aliased '$alias' reaches the output — DuckDB " +

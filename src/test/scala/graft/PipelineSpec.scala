@@ -9,6 +9,30 @@ import graft.spec.SpecParser
 
 import Harness.spark
 
+/** Shared hand-rolled ISO-BMFF box builders for the hostile-layout video
+  * tests — one copy so a future field-offset fix cannot drift between
+  * tests (r5 review finding). */
+private object Mp4Kit {
+  def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(fourcc.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+  def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+  val ftyp: Array[Byte] = box("ftyp", "isomxxxxisom".getBytes("US-ASCII"))
+  def mvhd: Array[Byte] = box("mvhd", java.nio.ByteBuffer.allocate(100)
+    .putInt(0).putInt(0).putInt(0).putInt(600).putInt(50).array())
+  def mdhd: Array[Byte] = box("mdhd", new Array[Byte](24))
+  def hdlr(kind: String): Array[Byte] = box("hdlr", java.nio.ByteBuffer.allocate(25)
+    .putInt(0).putInt(0).put(kind.getBytes("US-ASCII")).array())
+  def tkhd(w: Int, h: Int): Array[Byte] = box("tkhd", java.nio.ByteBuffer.allocate(84)
+    .putInt(0).putInt(0).putInt(0).putInt(1)
+    .put(new Array[Byte](60)).putInt(w << 16).putInt(h << 16).array())
+  def trak(kind: String, w: Int, h: Int, stbl: Array[Byte]): Array[Byte] =
+    box("trak", cat(tkhd(w, h),
+      box("mdia", cat(mdhd, hdlr(kind), box("minf", box("stbl", stbl))))))
+}
+
 /** Training-pipeline operators: text analysis, dedup family, ANN, multimodal. */
 class PipelineSpec extends AnyFunSuite {
   import spark.implicits._
@@ -832,7 +856,7 @@ class PipelineSpec extends AnyFunSuite {
       assert(m.height == 96 + ((id / 7) % 32) * 4, s"height of $id")
       assert(m.n_frames == 1 + (id % 120), s"frames of $id")
       assert(m.timescale == 600 && m.duration_ticks == m.n_frames * 25L, s"time of $id")
-      assert(m.n_bytes == 405 + m.n_frames * 16L, s"bytes of $id")
+      assert(m.n_bytes == 425 + m.n_frames * 16L, s"bytes of $id")
     }
     // the generic decodeMeta dispatch routes MP4 through the same walk
     import spark.implicits._
@@ -840,18 +864,27 @@ class PipelineSpec extends AnyFunSuite {
     viaDispatch.foreach { m =>
       assert(m.width == 160 + (m.doc_id % 32) * 4 && m.n_frames == 1 + (m.doc_id % 120))
     }
-    // frame slicing addresses real stsz/mdat boundaries: every sampled
-    // frame is exactly the uniform 16-byte sample, and re-assembling the
-    // every-1 sampling reproduces the mdat payload byte-for-byte
+    // frame slicing addresses real stsc/stco chunk boundaries: the corpus
+    // is two-chunk with 4 junk bytes between the chunks inside mdat, so
+    // re-assembling the every-1 sampling must reproduce the mdat payload
+    // MINUS the junk, and every frame's bytes must match the generator's
+    // content formula (a contiguous-from-mdat slicer would fail both)
     val rows = Multimodal.syntheticVideos(spark, 3).collect()
     val frames = Multimodal.frameSample(
       spark.createDataset(rows.toSeq), everyN = 1).collect()
     rows.foreach { r =>
       val fs = frames.filter(_.doc_id == r.doc_id).sortBy(_.frame_idx)
       val nf = (1 + r.doc_id % 120).toInt
+      val s1 = (nf + 1) / 2
       assert(fs.length == nf && fs.forall(_.frame.length == 16))
-      val mdat = r.media.takeRight(nf * 16)
-      assert(fs.flatMap(_.frame).sameElements(mdat), s"mdat mismatch for ${r.doc_id}")
+      val payload = r.media.takeRight(nf * 16 + 4)
+      val noJunk = payload.take(s1 * 16) ++ payload.drop(s1 * 16 + 4)
+      assert(fs.flatMap(_.frame).sameElements(noJunk), s"chunk mismatch for ${r.doc_id}")
+      fs.foreach { fr =>
+        val want = Array.tabulate(16)(j =>
+          ((r.doc_id * 31 + fr.frame_idx * 17 + j * 7) % 256).toByte)
+        assert(fr.frame.sameElements(want), s"content of ${r.doc_id}/${fr.frame_idx}")
+      }
     }
     // truncated/corrupt MP4 → sentinel row, not a task failure
     val truncated = rows.head.media.take(40)
@@ -903,24 +936,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("video: per-sample stsz tables, audio-first trak order, hostile box sizes") {
     import spark.implicits._
-    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
-      bb.putInt(8 + payload.length).put(fourcc.getBytes("US-ASCII")).put(payload)
-      bb.array()
-    }
-    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
-    val ftyp = box("ftyp", "isomxxxxisom".getBytes("US-ASCII"))
-    def mvhd = box("mvhd", java.nio.ByteBuffer.allocate(100)
-      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(50).array())
-    def mdhd = box("mdhd", new Array[Byte](24))
-    def hdlr(kind: String) = box("hdlr", java.nio.ByteBuffer.allocate(25)
-      .putInt(0).putInt(0).put(kind.getBytes("US-ASCII")).array())
-    def tkhd(w: Int, h: Int) = box("tkhd", java.nio.ByteBuffer.allocate(84)
-      .putInt(0).putInt(0).putInt(0).putInt(1)
-      .put(new Array[Byte](60)).putInt(w << 16).putInt(h << 16).array())
-    def trak(kind: String, w: Int, h: Int, stsz: Array[Byte]) =
-      box("trak", cat(tkhd(w, h),
-        box("mdia", cat(mdhd, hdlr(kind), box("minf", box("stbl", stsz))))))
+    import Mp4Kit.{box, cat, ftyp, hdlr, mdhd, mvhd, trak}
     // A: variable frame sizes [3, 5, 2] via the stsz per-sample TABLE form
     val stszTable = box("stsz", java.nio.ByteBuffer.allocate(24)
       .putInt(0).putInt(0).putInt(3).putInt(3).putInt(5).putInt(2).array())
@@ -987,21 +1003,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("video: multi-chunk stsc/stco demuxer addressing, co64, half-present tables") {
     import spark.implicits._
-    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
-      bb.putInt(8 + payload.length).put(fourcc.getBytes("US-ASCII")).put(payload)
-      bb.array()
-    }
-    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
-    val ftyp = box("ftyp", "isomxxxxisom".getBytes("US-ASCII"))
-    def mvhd = box("mvhd", java.nio.ByteBuffer.allocate(100)
-      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(50).array())
-    def mdhd = box("mdhd", new Array[Byte](24))
-    def hdlr = box("hdlr", java.nio.ByteBuffer.allocate(25)
-      .putInt(0).putInt(0).put("vide".getBytes("US-ASCII")).array())
-    def tkhd = box("tkhd", java.nio.ByteBuffer.allocate(84)
-      .putInt(0).putInt(0).putInt(0).putInt(1)
-      .put(new Array[Byte](60)).putInt(64 << 16).putInt(32 << 16).array())
+    import Mp4Kit.{box, cat, ftyp, mvhd, trak}
     // G: 5 variable-size samples [3,5,2,4,6] split over TWO chunks —
     // stsc runs (1→3 samples, 2→2 samples) — with 4 junk bytes between
     // the chunks inside mdat: a contiguous-from-mdat slicer would return
@@ -1016,8 +1018,7 @@ class PipelineSpec extends AnyFunSuite {
     def stcoG(off1: Int, off2: Int) = box("stco", java.nio.ByteBuffer.allocate(16)
       .putInt(0).putInt(2).putInt(off1).putInt(off2).array())
     def moovG(off1: Int, off2: Int) = box("moov", cat(mvhd,
-      box("trak", cat(tkhd, box("mdia", cat(mdhd, hdlr,
-        box("minf", box("stbl", cat(stszG, stscG, stcoG(off1, off2))))))))))
+      trak("vide", 64, 32, cat(stszG, stscG, stcoG(off1, off2)))))
     val mdatPayloadOff = ftyp.length + moovG(0, 0).length + 8
     val off1 = mdatPayloadOff            // chunk 1: samples 0,1,2 (10 bytes)
     val off2 = mdatPayloadOff + 10 + 4   // chunk 2 after 4 junk bytes
@@ -1033,16 +1034,14 @@ class PipelineSpec extends AnyFunSuite {
     def co64H(off: Long) = box("co64", java.nio.ByteBuffer.allocate(16)
       .putInt(0).putInt(1).putLong(off).array())
     def moovH(off: Long) = box("moov", cat(mvhd,
-      box("trak", cat(tkhd, box("mdia", cat(mdhd, hdlr,
-        box("minf", box("stbl", cat(stszH, stscH, co64H(off))))))))))
+      trak("vide", 64, 32, cat(stszH, stscH, co64H(off)))))
     val offH = ftyp.length + moovH(0L).length + 8
     val fileH = cat(ftyp, moovH(offH.toLong),
       box("mdat", Array.tabulate[Byte](12)(i => (40 + i).toByte)))
     // I: HALF-PRESENT chunk tables (stsc without stco) — unaddressable;
     // must quarantine (sentinel meta, zero frames), not guess
     val fileI = cat(ftyp, box("moov", cat(mvhd,
-      box("trak", cat(tkhd, box("mdia", cat(mdhd, hdlr,
-        box("minf", box("stbl", cat(stszH, stscH))))))))),
+      trak("vide", 64, 32, cat(stszH, stscH)))),
       box("mdat", new Array[Byte](12)))
     val ds = spark.createDataset(Seq(
       Multimodal.MediaRow(1L, "video", fileG),
