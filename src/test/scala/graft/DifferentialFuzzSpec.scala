@@ -1,0 +1,333 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.run.Validator
+import graft.spec.SpecParser
+
+import Harness.spark
+
+/** Differential fuzz between the engine's two INDEPENDENT compilers.
+  *
+  * The typed-column compiler (`compile/Compiler.scala`) and the dynamic-JSON
+  * variant compiler (`compile/VariantCompiler.scala`) implement the same
+  * reference semantics (/root/reference/src/validator.cr) against different
+  * value representations. For any row of the closed 6-column shape, rendering
+  * it to JSON (`to_json` drops null fields, matching the typed mode's
+  * "absent ≡ null" presence rule — Compiler.scala scaladoc) and validating
+  * the JSON with the variant compiler must produce the SAME ordered
+  * violations `(doc_id, path, constraint_id)` as validating the typed row
+  * directly. Seeded random schemas × seeded random rows check that
+  * equivalence over a far larger spec space than the hand-written parity
+  * suites — any disagreement is a bug in one of the compilers (null
+  * propagation, gating, presence semantics, numeric widening).
+  *
+  * Compared: ordered (doc_id, path, constraint_id). Messages and `observed`
+  * are NOT compared: items/contains subschema messages collapse differently
+  * by design (the variant mode counts its runtime type gate as a second
+  * check — VariantCompiler scaladoc "Differences"), and observed formatting
+  * follows the column type (int "5" vs variant double "5.0").
+  *
+  * Excluded from generation (documented representation divergences, each
+  * pinned by its own parity spec instead):
+  *  - propertyNames: typed mode validates ALL schema field names driver-side
+  *    (even null-valued columns); variant mode sees only present keys.
+  *  - patternProperties / additionalProperties:<schema>: typed mode emits one
+  *    check per matched COLUMN (child path); variant mode collapses to one
+  *    check per keyword (parent path).
+  *  - object-valued enum/const: canonical-JSON field order differs between
+  *    the schema-ordered typed rendering and the variant serialization.
+  *  - format:"regex" (opt-in UDF) and reference-unsupported formats.
+  */
+class DifferentialFuzzSpec extends AnyFunSuite {
+
+  private val rowSchema = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("tokens", ArrayType(IntegerType, containsNull = true), nullable = true),
+    StructField("flag", BooleanType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  private val stringPool = Vector(
+    "web", "books", "code", "wiki", "a", "abcdef", "x1", "",
+    "550e8400-e29b-41d4-a716-446655440000", "not-a-uuid",
+    "2024-01-15", "a@b.co", "UPPER", "host-name.example.com")
+
+  private def genRows(rnd: Random, n: Int): Seq[Row] =
+    (0 until n).map { i =>
+      val nTok: Any = if (rnd.nextInt(100) < 15) null else Int.box(rnd.between(-5, 21))
+      val source: Any = if (rnd.nextInt(100) < 10) null
+        else stringPool(rnd.nextInt(stringPool.size))
+      val tokens: Any =
+        if (rnd.nextInt(100) < 15) null
+        else (0 until rnd.nextInt(7)).map { _ =>
+          if (rnd.nextInt(100) < 10) null else Int.box(rnd.between(-5, 16))
+        }
+      val flag: Any = if (rnd.nextInt(100) < 20) null else Boolean.box(rnd.nextBoolean())
+      val score: Any = if (rnd.nextInt(100) < 20) null
+        else Double.box(rnd.between(-8, 17) * 0.5)
+      Row(f"d$i%04d", nTok, source, tokens, flag, score)
+    }
+
+  // -- schema JSON generation ------------------------------------------------
+
+  private def quote(s: String): String = graft.spec.JsonVal.quote(s)
+  private def obj(fields: Seq[String]): String = fields.mkString("{", ",", "}")
+  private def kv(k: String, v: String): String = s"${quote(k)}:$v"
+  private def pick[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+  private def subset[T](rnd: Random, xs: Seq[T], pKeep: Int): Seq[T] =
+    xs.filter(_ => rnd.nextInt(100) < pKeep)
+
+  private val patternPool = Vector("^a", "[0-9]+", "^[a-z]{1,6}$", "o", "^\\d{4}-")
+  private val formatPool = Vector("uuid", "date", "email", "hostname")
+
+  /** number / integer schema with a random keyword subset (possibly none —
+    * a bare runtime gate). */
+  private def numSchema(rnd: Random): String = {
+    val integer = rnd.nextBoolean()
+    val fs = Vector.newBuilder[String]
+    fs += kv("type", if (integer) "\"integer\"" else "\"number\"")
+    if (rnd.nextInt(100) < 50) fs += kv("minimum", rnd.between(-5, 12).toString)
+    if (rnd.nextInt(100) < 40) fs += kv("maximum", rnd.between(0, 20).toString)
+    if (rnd.nextInt(100) < 20) fs += kv("exclusiveMinimum", rnd.between(-5, 10).toString)
+    if (rnd.nextInt(100) < 20) fs += kv("exclusiveMaximum", rnd.between(0, 18).toString)
+    if (rnd.nextInt(100) < 25) fs += kv("multipleOf", pick(rnd, Vector("1", "2", "3", "5")))
+    if (rnd.nextInt(100) < 15)
+      fs += kv("enum", (0 until rnd.between(1, 4)).map(_ => rnd.between(-3, 12)).mkString("[", ",", "]"))
+    obj(fs.result())
+  }
+
+  private def strSchema(rnd: Random): String = {
+    val fs = Vector.newBuilder[String]
+    fs += kv("type", "\"string\"")
+    if (rnd.nextInt(100) < 40) fs += kv("minLength", rnd.between(0, 8).toString)
+    if (rnd.nextInt(100) < 30) fs += kv("maxLength", rnd.between(2, 14).toString)
+    if (rnd.nextInt(100) < 30) fs += kv("pattern", quote(pick(rnd, patternPool)))
+    if (rnd.nextInt(100) < 20) fs += kv("format", quote(pick(rnd, formatPool)))
+    if (rnd.nextInt(100) < 20)
+      fs += kv("enum", subset(rnd, stringPool.take(6), 40).map(quote).mkString("[", ",", "]"))
+    obj(fs.result())
+  }
+
+  private def arrSchema(rnd: Random): String = {
+    val fs = Vector.newBuilder[String]
+    fs += kv("type", "\"array\"")
+    val prefix = rnd.nextInt(100) < 25
+    if (prefix) {
+      fs += kv("prefixItems",
+        (0 until rnd.between(1, 4)).map(_ => elemSchema(rnd)).mkString("[", ",", "]"))
+      if (rnd.nextInt(100) < 40) fs += kv("items", "false") // tuple close
+    } else if (rnd.nextInt(100) < 60) {
+      fs += kv("items", elemSchema(rnd))
+    }
+    if (rnd.nextInt(100) < 30) {
+      fs += kv("contains", elemSchema(rnd))
+      if (rnd.nextInt(100) < 50) fs += kv("minContains", rnd.between(0, 4).toString)
+      if (rnd.nextInt(100) < 50) fs += kv("maxContains", rnd.between(1, 5).toString)
+    }
+    if (rnd.nextInt(100) < 30) fs += kv("minItems", rnd.between(0, 5).toString)
+    if (rnd.nextInt(100) < 30) fs += kv("maxItems", rnd.between(2, 7).toString)
+    if (rnd.nextInt(100) < 30) fs += kv("uniqueItems", "true")
+    if (rnd.nextInt(100) < 10)
+      fs += kv("enum", Vector("[1,2,3]", "[]", "[0]").mkString("[", ",", "]"))
+    obj(fs.result())
+  }
+
+  /** Array-element subschema: int ranges (the token-domain shape, incl. the
+    * native graft_all_in_range fast path), occasional null/string/bool to
+    * exercise runtime-gate failures on elements. */
+  private def elemSchema(rnd: Random): String = rnd.nextInt(100) match {
+    case x if x < 60 => numSchema(rnd)
+    case x if x < 75 => """{"type":"null"}"""
+    case x if x < 90 => strSchema(rnd)
+    case _           => """{"type":"boolean"}"""
+  }
+
+  /** Typeless generic schema (enum/const/composites) typed to fit `column`. */
+  private def genericSchema(rnd: Random, column: String): String = {
+    val fs = Vector.newBuilder[String]
+    val enumJson = column match {
+      case "n_tok"  => (0 until rnd.between(1, 4)).map(_ => rnd.between(-3, 12)).mkString("[", ",", "]")
+      case "source" => subset(rnd, stringPool.take(6), 50).map(quote).mkString("[", ",", "]")
+      case "tokens" => Vector("[1,2,3]", "[]").mkString("[", ",", "]")
+      case "flag"   => "[true]"
+      case _        => "[0.5,1.5,2]"
+    }
+    val constJson = column match {
+      case "n_tok"  => rnd.between(-2, 10).toString
+      case "source" => quote(pick(rnd, stringPool.take(6)))
+      case "tokens" => "[1,2,3]"
+      case "flag"   => "true"
+      case _        => "1.5"
+    }
+    rnd.nextInt(3) match {
+      case 0 => fs += kv("enum", enumJson)
+      case 1 => fs += kv("const", constJson)
+      case _ =>
+        fs += kv(pick(rnd, Vector("anyOf", "oneOf", "allOf", "not")),
+          (0 until rnd.between(1, 3)).map(_ => typedSchemaFor(rnd, column))
+            .mkString("[", ",", "]"))
+    }
+    obj(fs.result())
+  }
+
+  /** Schema matching `column`'s static type. */
+  private def typedSchemaFor(rnd: Random, column: String): String = column match {
+    case "n_tok"  => numSchema(rnd)
+    case "source" => strSchema(rnd)
+    case "tokens" => arrSchema(rnd)
+    case "flag"   => """{"type":"boolean"}"""
+    case "score"  => numSchema(rnd)
+    case _        => strSchema(rnd)
+  }
+
+  /** Schema deliberately MISmatching `column`'s type — the static-gate
+    * short-circuit (typed) must agree with the runtime gate (variant). */
+  private def wrongTypeSchemaFor(rnd: Random, column: String): String = column match {
+    case "n_tok" | "score" => pick(rnd, Vector(strSchema(rnd), arrSchema(rnd)))
+    case "source"          => pick(rnd, Vector(numSchema(rnd), arrSchema(rnd)))
+    case "tokens"          => pick(rnd, Vector(numSchema(rnd), strSchema(rnd)))
+    case _                 => numSchema(rnd)
+  }
+
+  private def propSchema(rnd: Random, column: String): String = rnd.nextInt(100) match {
+    case x if x < 55 => typedSchemaFor(rnd, column)
+    case x if x < 65 => wrongTypeSchemaFor(rnd, column)
+    case x if x < 75 => """{"type":"null"}"""
+    case _           => genericSchema(rnd, column)
+  }
+
+  private val dataColumns = Vector("n_tok", "source", "tokens", "flag", "score")
+
+  /** Object-schema child for root composites (required / bounds / one
+    * property check — shapes whose pred semantics align across modes). */
+  private def compositeChild(rnd: Random): String = rnd.nextInt(3) match {
+    case 0 => obj(Seq(kv("type", "\"object\""),
+      kv("required", subset(rnd, dataColumns, 40).padTo(1, pick(rnd, dataColumns))
+        .map(quote).mkString("[", ",", "]"))))
+    case 1 => obj(Seq(kv("type", "\"object\""),
+      kv("minProperties", rnd.between(0, 7).toString)))
+    case _ =>
+      val c = pick(rnd, dataColumns)
+      obj(Seq(kv("type", "\"object\""),
+        kv("properties", obj(Seq(kv(c, typedSchemaFor(rnd, c)))))))
+  }
+
+  private def rootSchema(rnd: Random): String = {
+    val fs = Vector.newBuilder[String]
+    fs += kv("type", "\"object\"")
+    val props = subset(rnd, dataColumns, 60) match {
+      case Seq() => Vector(pick(rnd, dataColumns))
+      case xs    => xs.toVector
+    }
+    fs += kv("properties", obj(props.map(c => kv(c, propSchema(rnd, c)))))
+    if (rnd.nextInt(100) < 40) {
+      val reqPool = "doc_id" +: dataColumns :+ "ghost_prop"
+      val req = subset(rnd, reqPool, 30)
+      if (req.nonEmpty) fs += kv("required", req.map(quote).mkString("[", ",", "]"))
+    }
+    if (rnd.nextInt(100) < 30) {
+      val dep = pick(rnd, dataColumns)
+      val reqs = subset(rnd, dataColumns.filter(_ != dep), 40).padTo(1, "n_tok").distinct
+      fs += kv("dependentRequired", obj(Seq(kv(dep, reqs.map(quote).mkString("[", ",", "]")))))
+    }
+    if (rnd.nextInt(100) < 25) {
+      val dep = pick(rnd, dataColumns)
+      fs += kv("dependentSchemas", obj(Seq(kv(dep, obj(Seq(kv("type", "\"object\""),
+        kv("required", subset(rnd, dataColumns, 40).padTo(1, "source").distinct
+          .map(quote).mkString("[", ",", "]"))))))))
+    }
+    if (rnd.nextInt(100) < 25) fs += kv("minProperties", rnd.between(0, 7).toString)
+    if (rnd.nextInt(100) < 25) fs += kv("maxProperties", rnd.between(2, 8).toString)
+    if (rnd.nextInt(100) < 20) fs += kv("additionalProperties", "false")
+    if (rnd.nextInt(100) < 30) {
+      val kind = pick(rnd, Vector("anyOf", "oneOf", "allOf", "not"))
+      fs += kv(kind, (0 until rnd.between(1, 3)).map(_ => compositeChild(rnd))
+        .mkString("[", ",", "]"))
+    }
+    obj(fs.result())
+  }
+
+  // -- the differential ------------------------------------------------------
+
+  private def orderedVios(v: graft.run.Validation): Vector[(String, String, String)] =
+    v.violations.select("doc_id", "rank", "path", "constraint_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+      .map(t => (t._1, t._3, t._4)).toVector
+
+  private def runTrial(trial: Int, schemaJson: String, rows: Seq[Row]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val spec = SpecParser.parse(schemaJson)
+    val df = spark.createDataFrame(rows.asJava, rowSchema)
+
+    val typed = orderedVios(Validator.validate(df, spec, "doc_id", None))
+
+    val js = df.select(col("doc_id"),
+      to_json(struct(rowSchema.fieldNames.map(col).toIndexedSeq: _*),
+        Map("ignoreNullFields" -> "true").asJava).as("js"))
+    val variant = orderedVios(Validator.validateJson(js, spec, "js", "doc_id", None))
+
+    if (typed != variant) {
+      val onlyTyped = typed.diff(variant).take(8)
+      val onlyVariant = variant.diff(typed).take(8)
+      val badDocs = (onlyTyped ++ onlyVariant).map(_._1).distinct.take(3).toSet
+      val badRows = rows.filter(r => badDocs.contains(r.getString(0)))
+      fail(
+        s"""trial $trial: typed and variant violations diverge
+           |schema: $schemaJson
+           |typed only   : $onlyTyped
+           |variant only : $onlyVariant
+           |rows: ${badRows.mkString("; ")}""".stripMargin)
+    }
+  }
+
+  test("typed and variant compilers agree on seeded random schemas x rows") {
+    val seed = 0x5EED5L // fixed: the trial corpus is part of the test contract
+    val rnd = new Random(seed)
+    val trials = 48
+    val rowsPerTrial = 80
+    for (t <- 0 until trials) {
+      val schemaJson = rootSchema(rnd)
+      val rows = genRows(rnd, rowsPerTrial)
+      runTrial(t, schemaJson, rows)
+    }
+  }
+
+  test("typed and variant compilers agree on the all-null / empty-edge corpus") {
+    // directed worst cases the random corpus may under-sample
+    val rows = Seq(
+      Row("e0", null, null, null, null, null),
+      Row("e1", Int.box(0), "", Seq.empty[Any], Boolean.box(false), Double.box(0.0)),
+      Row("e2", Int.box(-5), "a", Seq(null, null), Boolean.box(true), Double.box(-0.5)),
+      Row("e3", Int.box(20), "550e8400-e29b-41d4-a716-446655440000",
+        Seq(Int.box(1), null, Int.box(1)), null, Double.box(8.0)))
+    val rnd = new Random(0xD1FFL)
+    for (t <- 0 until 12) runTrial(1000 + t, rootSchema(rnd), rows)
+  }
+
+  test("the comparator detects a known-divergent construct (harness has teeth)") {
+    // propertyNames is EXCLUDED from generation because the modes genuinely
+    // differ: typed validates all schema field names driver-side (one check
+    // per name, child path), variant validates only the present runtime keys
+    // (one collapsed check, parent path). This test pins that the
+    // differential harness would catch such a divergence — i.e. the green
+    // fuzz runs above are evidence of agreement, not of a blind comparator.
+    val schema =
+      """{"type":"object",
+         |"properties":{"n_tok":{"type":"integer"}},
+         |"propertyNames":{"minLength":20}}""".stripMargin.replaceAll("\n", "")
+    val rows = Seq(Row("t0", Int.box(5), "web", Seq(Int.box(1)),
+      Boolean.box(true), Double.box(1.0)))
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      runTrial(9999, schema, rows)
+    }
+    assert(e.getMessage.contains("diverge"))
+  }
+}
