@@ -262,7 +262,9 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2))
       .map(t => (t._1, t._3, t._4)).toVector
 
-  private def runTrial(trial: Int, schemaJson: String, rows: Seq[Row]): Unit = {
+  /** Returns the (agreed) violation count so callers can assert the corpus
+    * actually exercises failures — all-green agreement would be vacuous. */
+  private def runTrial(trial: Int, schemaJson: String, rows: Seq[Row]): Int = {
     import scala.jdk.CollectionConverters._
     val spec = SpecParser.parse(schemaJson)
     val df = spark.createDataFrame(rows.asJava, rowSchema)
@@ -286,6 +288,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
            |variant only : $onlyVariant
            |rows: ${badRows.mkString("; ")}""".stripMargin)
     }
+    typed.size
   }
 
   test("typed and variant compilers agree on seeded random schemas x rows") {
@@ -293,11 +296,14 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val rnd = new Random(seed)
     val trials = 48
     val rowsPerTrial = 80
+    var vios = 0L
     for (t <- 0 until trials) {
       val schemaJson = rootSchema(rnd)
       val rows = genRows(rnd, rowsPerTrial)
-      runTrial(t, schemaJson, rows)
+      vios += runTrial(t, schemaJson, rows)
     }
+    assert(vios > trials * 10L,
+      s"suspiciously few violations across the corpus ($vios) — generator drifted?")
   }
 
   test("typed and variant compilers agree on the all-null / empty-edge corpus") {
@@ -309,7 +315,94 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       Row("e3", Int.box(20), "550e8400-e29b-41d4-a716-446655440000",
         Seq(Int.box(1), null, Int.box(1)), null, Double.box(8.0)))
     val rnd = new Random(0xD1FFL)
-    for (t <- 0 until 12) runTrial(1000 + t, rootSchema(rnd), rows)
+    var vios = 0L
+    for (t <- 0 until 12) vios += runTrial(1000 + t, rootSchema(rnd), rows)
+    assert(vios > 0, "edge corpus produced zero violations — vacuous agreement")
+  }
+
+  // -- root-value mode (compileColumn vs variant root) ----------------------
+
+  /** One root-value trial: a single column `v` of `dt`, each row carrying the
+    * typed value and its hand-rendered JSON text (to_json cannot serialize
+    * scalar roots). Typed mode is `validateColumn` (nullFailsGate — a null
+    * value fails the type gate, like `as_f` on JSON null in the reference);
+    * variant mode parses the same JSON text. Constraint ids differ only by
+    * the documented prefix (".v/…" vs "./…"), normalized before compare. */
+  private def runRootTrial(trial: Int, schemaJson: String, dt: DataType,
+                           values: Seq[(Any, String)]): Int = {
+    import scala.jdk.CollectionConverters._
+    val spec = SpecParser.parse(schemaJson)
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType, nullable = false),
+      StructField("v", dt, nullable = true),
+      StructField("js", StringType, nullable = false)))
+    val rows = values.zipWithIndex.map { case ((tv, js), i) => Row(f"d$i%04d", tv, js) }
+    val df = spark.createDataFrame(rows.asJava, schema)
+
+    val typed = orderedVios(Validator.validateColumn(df, spec, "v", "doc_id", None))
+      .map { case (d, p, id) => (d, p, id.replaceFirst("^\\.v(?=[/.~])", ".")) }
+    val variant = orderedVios(Validator.validateJson(df, spec, "js", "doc_id", None))
+
+    if (typed != variant) {
+      val onlyTyped = typed.diff(variant).take(8)
+      val onlyVariant = variant.diff(typed).take(8)
+      fail(
+        s"""root trial $trial: typed and variant violations diverge
+           |schema: $schemaJson
+           |typed only   : $onlyTyped
+           |variant only : $onlyVariant""".stripMargin)
+    }
+    typed.size
+  }
+
+  private def renderJson(v: Any): String = v match {
+    case null                 => "null"
+    case s: String            => quote(s)
+    case d: java.lang.Double  => d.toString
+    case xs: Seq[_]           => xs.map(renderJson).mkString("[", ",", "]")
+    case other                => other.toString // Int / Boolean
+  }
+
+  private def genRootValues(rnd: Random, dt: DataType, n: Int): Seq[(Any, String)] =
+    (0 until n).map { _ =>
+      val tv: Any =
+        if (rnd.nextInt(100) < 15) null
+        else dt match {
+          case IntegerType => Int.box(rnd.between(-5, 21))
+          case DoubleType  => Double.box(rnd.between(-8, 17) * 0.5)
+          case StringType  => stringPool(rnd.nextInt(stringPool.size))
+          case BooleanType => Boolean.box(rnd.nextBoolean())
+          case _: ArrayType =>
+            (0 until rnd.nextInt(7)).map { _ =>
+              if (rnd.nextInt(100) < 10) null else Int.box(rnd.between(-5, 16))
+            }
+        }
+      (tv, renderJson(tv))
+    }
+
+  test("root-value mode: typed and variant compilers agree on random values") {
+    val rnd = new Random(0x0057EEDL)
+    val cases: Vector[(DataType, Random => String)] = Vector(
+      (IntegerType, numSchema _),
+      (DoubleType, numSchema _),
+      (StringType, strSchema _),
+      (ArrayType(IntegerType, containsNull = true), arrSchema _),
+      (IntegerType, (r: Random) => genericSchema(r, "n_tok")),
+      (StringType, (r: Random) => genericSchema(r, "source")),
+      (ArrayType(IntegerType, containsNull = true), (r: Random) => genericSchema(r, "tokens")),
+      (IntegerType, (r: Random) => strSchema(r)),  // wrong-type gate
+      (StringType, (r: Random) => numSchema(r)),   // wrong-type gate
+      (IntegerType, (_: Random) => """{"type":"null"}"""),
+      (BooleanType, (_: Random) => """{"type":"boolean"}"""))
+    var t = 0
+    var vios = 0L
+    for (_ <- 0 until 4; (dt, gen) <- cases) {
+      vios += runRootTrial(2000 + t, gen(rnd), dt, genRootValues(rnd, dt, 48))
+      t += 1
+    }
+    assert(t == 44)
+    assert(vios > t * 10L,
+      s"suspiciously few violations across the root corpus ($vios) — generator drifted?")
   }
 
   test("the comparator detects a known-divergent construct (harness has teeth)") {
