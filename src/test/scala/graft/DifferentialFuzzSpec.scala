@@ -405,6 +405,56 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       s"suspiciously few violations across the root corpus ($vios) — generator drifted?")
   }
 
+  // -- parser/serializer robustness over the same corpus ---------------------
+
+  test("serialize/parse round-trip is a fixed point on the random schema corpus") {
+    import graft.spec.{JsonVal, SpecJson}
+    val rnd = new Random(0x207D7219L)
+    for (t <- 0 until 80) {
+      val schemaJson = rootSchema(rnd)
+      val spec1 = SpecParser.parse(schemaJson)
+      val ser1 = SpecJson.serialize(spec1)
+      val spec2 = SpecParser.parse(ser1)
+      assert(spec2 == spec1, s"trial $t: re-parsed spec differs\nschema: $schemaJson\nser: $ser1")
+      assert(SpecJson.serialize(spec2) == ser1, s"trial $t: serialization not a fixed point")
+      // the canonical form is also semantically identical JSON per Jackson
+      assert(JsonVal.parse(ser1) == SpecJson.toJson(spec1))
+    }
+  }
+
+  test("malformed schemas fail fast with SpecError, never an internal error") {
+    import graft.spec.{JArr, JBool, JNull, JNum, JObj, JStr, JsonVal, SpecError}
+    val junk = Vector[JsonVal](JNum(BigDecimal(5)), JStr("x"), JBool(true),
+      JArr(Vector.empty), JObj(Vector.empty), JNull)
+    val rnd = new Random(0xBADF00DL)
+
+    def mutate(node: JsonVal): JsonVal = node match {
+      case JObj(fields) if fields.nonEmpty =>
+        val i = rnd.nextInt(fields.size)
+        val (k, v) = fields(i)
+        val nv = if (rnd.nextInt(100) < 60) junk(rnd.nextInt(junk.size)) else mutate(v)
+        JObj(fields.updated(i, (k, nv)))
+      case JArr(items) if items.nonEmpty =>
+        JArr(items.updated(rnd.nextInt(items.size), junk(rnd.nextInt(junk.size))))
+      case _ => junk(rnd.nextInt(junk.size))
+    }
+
+    var rejected = 0
+    for (t <- 0 until 120) {
+      val tree = JsonVal.parse(rootSchema(rnd))
+      val mutated = mutate(mutate(tree)).render
+      try { SpecParser.parse(mutated); () }
+      catch {
+        case _: SpecError => rejected += 1 // the contract: driver-side fail-fast
+        case e: Throwable =>
+          fail(s"trial $t: non-SpecError ${e.getClass.getName}: ${e.getMessage}\nschema: $mutated")
+      }
+      // parseOpt must swallow anything parse throws
+      SpecParser.parseOpt(mutated)
+    }
+    assert(rejected > 10, s"only $rejected/120 mutants rejected — mutator too gentle?")
+  }
+
   test("the comparator detects a known-divergent construct (harness has teeth)") {
     // propertyNames is EXCLUDED from generation because the modes genuinely
     // differ: typed validates all schema field names driver-side (one check
