@@ -405,6 +405,35 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       s"suspiciously few violations across the root corpus ($vios) — generator drifted?")
   }
 
+  test("items bound strictness: directed boundary corpus (native range fast path)") {
+    // Found by mutation analysis: dropping the exclusive-LOWER strictness
+    // flag in Compiler.nativeRangeForall's graft_all_in_range wiring survived
+    // the random corpus (elements rarely land exactly on an exclusive bound
+    // of a native-eligible items schema) and every other test (ExtSpec pins
+    // the expression and the exclusiveMaximum wiring, not exclusiveMinimum).
+    // These trials put every bound kind's boundary value in the data, so a
+    // strictness or tie-break regression in EITHER compiler diverges.
+    val itemSchemas = Seq(
+      """{"type":"integer","exclusiveMinimum":3}""",
+      """{"type":"integer","exclusiveMaximum":9}""",
+      """{"type":"integer","minimum":3,"exclusiveMinimum":3}""", // strict wins the tie
+      """{"type":"integer","maximum":9,"exclusiveMaximum":9}""",
+      """{"type":"integer","minimum":4,"exclusiveMinimum":3}""", // non-strict 4 is tighter
+      """{"type":"integer","exclusiveMinimum":3,"exclusiveMaximum":4}""", // empty range
+      """{"type":"integer","minimum":3,"maximum":9}""")
+    val rows = ((0 to 12).map(i => Seq(Int.box(i))) ++
+      Seq(Seq(Int.box(3), Int.box(9)), Seq(Int.box(4), Int.box(8)), Seq.empty[Any]))
+      .zipWithIndex.map { case (toks, i) =>
+        Row(f"b$i%04d", Int.box(1), "web", toks, Boolean.box(true), Double.box(1.0))
+      }
+    var vios = 0L
+    itemSchemas.zipWithIndex.foreach { case (s, i) =>
+      val schema = s"""{"type":"object","properties":{"tokens":{"type":"array","items":$s}}}"""
+      vios += runTrial(3000 + i, schema, rows)
+    }
+    assert(vios > 0, "boundary corpus produced zero violations — vacuous agreement")
+  }
+
   // -- parser/serializer robustness over the same corpus ---------------------
 
   test("serialize/parse round-trip is a fixed point on the random schema corpus") {
