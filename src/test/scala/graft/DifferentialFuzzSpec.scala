@@ -434,6 +434,46 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     assert(vios > 0, "boundary corpus produced zero violations — vacuous agreement")
   }
 
+  test("collapsed keywords agree at doc level (patternProperties / additionalProperties:schema)") {
+    // These keywords are excluded from the row-level fuzz because the modes
+    // collapse differently BY DESIGN (typed: one check per matched schema
+    // column, child path; variant: one check per keyword, offending keys in
+    // observed). The semantics still coincide one level up: the SET of
+    // documents with >=1 violation must be identical, since both modes test
+    // the same present keys against the same subschema.
+    import scala.jdk.CollectionConverters._
+    def vioDocs(v: graft.run.Validation): Set[String] =
+      v.violations.select("doc_id").distinct().collect().map(_.getString(0)).toSet
+
+    val rnd = new Random(0xC0115EL)
+    val rePool = Vector("^s", "tok", "^(flag|score)$", "_", "^doc")
+    for (t <- 0 until 16) {
+      val schemaJson =
+        if (t % 2 == 0) {
+          val sub = pick(rnd, Vector(numSchema(rnd), strSchema(rnd), """{"type":"null"}"""))
+          s"""{"type":"object","patternProperties":${obj(Seq(kv(pick(rnd, rePool), sub)))}}"""
+        } else {
+          val declared = subset(rnd, dataColumns, 50).padTo(1, "source").distinct
+          val sub = pick(rnd, Vector(numSchema(rnd), strSchema(rnd)))
+          s"""{"type":"object","properties":${obj(declared.map(c => kv(c, typedSchemaFor(rnd, c))))},""" +
+            s""""additionalProperties":$sub}"""
+        }
+      val spec = SpecParser.parse(schemaJson)
+      val rows = genRows(rnd, 64)
+      val df = spark.createDataFrame(rows.asJava, rowSchema)
+      val typedDocs = vioDocs(Validator.validate(df, spec, "doc_id", None))
+      val js = df.select(col("doc_id"),
+        to_json(struct(rowSchema.fieldNames.map(col).toIndexedSeq: _*),
+          Map("ignoreNullFields" -> "true").asJava).as("js"))
+      val variantDocs = vioDocs(Validator.validateJson(js, spec, "js", "doc_id", None))
+      assert(typedDocs == variantDocs,
+        s"""trial $t: violating-doc sets diverge
+           |schema: $schemaJson
+           |typed only   : ${(typedDocs -- variantDocs).take(6)}
+           |variant only : ${(variantDocs -- typedDocs).take(6)}""".stripMargin)
+    }
+  }
+
   // -- parser/serializer robustness over the same corpus ---------------------
 
   test("serialize/parse round-trip is a fixed point on the random schema corpus") {
