@@ -292,10 +292,13 @@ class DifferentialFuzzSpec extends AnyFunSuite {
   }
 
   test("typed and variant compilers agree on seeded random schemas x rows") {
-    val seed = 0x5EED5L // fixed: the trial corpus is part of the test contract
+    // fixed seed: the trial corpus is part of the test contract. The env
+    // knobs support one-off deep soaks (e.g. GRAFT_FUZZ_TRIALS=500) without
+    // changing what CI runs; a non-default seed explores fresh corpora.
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0x5EED5L)
     val rnd = new Random(seed)
-    val trials = 48
-    val rowsPerTrial = 80
+    val trials = sys.env.getOrElse("GRAFT_FUZZ_TRIALS", "48").toInt
+    val rowsPerTrial = sys.env.getOrElse("GRAFT_FUZZ_ROWS", "80").toInt
     var vios = 0L
     for (t <- 0 until trials) {
       val schemaJson = rootSchema(rnd)
