@@ -384,7 +384,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
 
   test("root-value mode: typed and variant compilers agree on random values") {
-    val rnd = new Random(0x0057EEDL)
+    val rnd = new Random(sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong ^ 0x0057EEDL)
+      .getOrElse(0x0057EEDL))
     val cases: Vector[(DataType, Random => String)] = Vector(
       (IntegerType, numSchema _),
       (DoubleType, numSchema _),
@@ -397,13 +398,17 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       (StringType, (r: Random) => numSchema(r)),   // wrong-type gate
       (IntegerType, (_: Random) => """{"type":"null"}"""),
       (BooleanType, (_: Random) => """{"type":"boolean"}"""))
+    // reps knob mirrors the object-root soak knobs: the M14 mutation near-miss
+    // showed this corpus is the unique killer for ungated-null bugs, so deep
+    // soaks should scale it too. CI default (4 reps = 44 trials) unchanged.
+    val reps = sys.env.getOrElse("GRAFT_FUZZ_ROOT_REPS", "4").toInt
     var t = 0
     var vios = 0L
-    for (_ <- 0 until 4; (dt, gen) <- cases) {
+    for (_ <- 0 until reps; (dt, gen) <- cases) {
       vios += runRootTrial(2000 + t, gen(rnd), dt, genRootValues(rnd, dt, 48))
       t += 1
     }
-    assert(t == 44)
+    assert(t == reps * cases.size)
     assert(vios > t * 10L,
       s"suspiciously few violations across the root corpus ($vios) — generator drifted?")
   }
