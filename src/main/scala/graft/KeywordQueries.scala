@@ -183,9 +183,13 @@ object KeywordQueries {
     """{"c":"other"}""",                          // 8: const
     """{"e":2}""",                                // 9: enum
     """{"s":7}""",                                // 10: type:string gate
-    """{"n":"x"}""")                              // 11: type:number gate
+    """{"n":"x"}""",                              // 11: type:number gate
+    // 12: UPPERCASE-hex uuid passes (mutation-found hole: a case-tightened
+    // uuid regex shipped green until this row — a wrong rejection here adds
+    // a violation row the oracle does not enumerate, breaking the compare)
+    """{"u":"123E4567-E89B-12D3-A456-426614174000"}""")
 
-  private val numstrOracle = oracle(12, Seq(
+  private val numstrOracle = oracle(13, Seq(
     (10, ".s/type:string", ".s", "7", Messages.notString),
     (11, ".n/type:number", ".n", "\"x\"", Messages.notNumber),
     (1, ".n/exclusiveMinimum", ".n", "0.0", Messages.exclusiveMinimum(0)),
@@ -231,9 +235,13 @@ object KeywordQueries {
     """{"i6":"2001:::1"}""",                       // 8: triple colon
     """{"jp":"bad"}""",                            // 9: no leading slash
     """{"rjp":"x/foo"}""",                         // 10: no leading digits
-    """{"ur":"not a uri"}""")                      // 11: no scheme
+    """{"ur":"not a uri"}""",                      // 11: no scheme
+    // 12: case-boundary VALID values pass — lowercase t/z date-time,
+    // uppercase email/hostname, uppercase-hex ipv6, uppercase scheme
+    // (same mutation-found hole class as the numstr uppercase uuid)
+    """{"dt":"2023-04-05t10:20:30z","em":"A.B@EXAMPLE.COM","hn":"EXAMPLE.COM","i6":"2001:DB8::1","ur":"HTTPS://example.com/x"}""")
 
-  private val formatsOracle = oracle(12, Seq(
+  private val formatsOracle = oracle(13, Seq(
     (1, ".dt/format", ".dt", "2023-13-05T10:20:30Z", Messages.format("date-time")),
     (2, ".d/format", ".d", "04/05/2023", Messages.format("date")),
     (3, ".t/format", ".t", "25:00:00", Messages.format("time")),

@@ -46,10 +46,21 @@ class StringValidatorSpec extends AnyFunSuite {
       """Expected string to match format "uuid"""")
   }
 
+  test("format uuid accepts uppercase hex (mutation-found hole: every other fixture is lowercase)") {
+    assertSuccess(errorsForValue(uuidFormat, "'123E4567-E89B-12D3-A456-426614174000'"))
+    // one hex digit short in the last group — still rejected either case
+    assertError(errorsForValue(uuidFormat, "'123E4567-E89B-12D3-A456-42661417400'"),
+      """Expected string to match format "uuid"""")
+  }
+
   test("format date-time (reference's commented-out golden, string_validator_spec.cr:56-67)") {
     assertSuccess(errorsForValue(dateTimeFormat, "'2018-11-13T20:20:39+00:00'"))
     assertError(errorsForValue(dateTimeFormat, "'test'"),
       """Expected string to match format "date-time"""")
+  }
+
+  test("format date-time accepts lowercase t/z separators (case-boundary, same hole class)") {
+    assertSuccess(errorsForValue(dateTimeFormat, "'2018-11-13t20:20:39z'"))
   }
 
   test("""format regex: value must compile as a regex (the one UDF check)""") {
